@@ -1,0 +1,215 @@
+"""SPMD train/eval steps: one jitted program over the device mesh.
+
+Replaces the reference's per-iteration python orchestration
+(lib/core/function.py:24-162 train_helper + optimizer plumbing in
+tools/train.py:271-318) with a functional, donated, fully-sharded step:
+
+    state  = create_train_state(cfg, model, rng, sample_batch, mesh)
+    step   = make_train_step(cfg, model, mesh)
+    state, metrics = step(state, batch)     # compiled once, runs on mesh
+
+Gradients, BatchNorm batch statistics and loss metrics are all global:
+XLA inserts the cross-replica collectives from the sharding annotations
+(the reference needed NCCL DDP + SyncBatchNorm + DistributedSampler for
+the same semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.loss_computer import LossComputer2D
+from ..ops.decode import decode_heatmaps
+from .mesh import batch_sharding, param_shardings, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(cfg, steps_per_epoch: int) -> optax.Schedule:
+    """LR schedules matching the reference (tools/train.py:300-318):
+    - 'multi_step': MultiStepLR over epochs LR_STEP with factor LR_FACTOR
+    - 'warmup':     linear warmup over WARMUP_EPOCHS then constant
+                    (lib/utils/utils.py:95-105)
+    """
+    base = float(cfg.TRAIN.LR)
+    kind = str(cfg.TRAIN.LR_SCHEDULE)
+    if kind == "multi_step":
+        boundaries = {
+            int(e) * steps_per_epoch: float(cfg.TRAIN.LR_FACTOR) for e in cfg.TRAIN.LR_STEP
+        }
+        return optax.piecewise_constant_schedule(base, boundaries)
+    if kind in ("warmup", "warmup_linear"):
+        warm = max(int(cfg.TRAIN.WARMUP_EPOCHS) * steps_per_epoch, 1)
+        return lambda step: base * jnp.minimum((step + 1) / warm, 1.0)
+    raise ValueError(f"unknown LR schedule {kind!r}")
+
+
+def make_optimizer(cfg, steps_per_epoch: int = 1000) -> optax.GradientTransformation:
+    """Optimizer factory (reference lib/utils/utils.py:71-92 get_optimizer)."""
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    name = str(cfg.TRAIN.OPTIMIZER).lower()
+    if name == "adam":
+        return optax.adam(sched)
+    if name == "adamw":
+        return optax.adamw(sched, weight_decay=float(cfg.TRAIN.WD))
+    if name == "sgd":
+        return optax.sgd(sched, momentum=float(cfg.TRAIN.MOMENTUM),
+                         nesterov=bool(cfg.TRAIN.NESTEROV))
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def create_train_state(cfg, model, rng, sample_batch, mesh=None,
+                       steps_per_epoch: int = 1000) -> Tuple[TrainState, optax.GradientTransformation]:
+    """Initialise parameters/optimizer, placing them on the mesh if given."""
+    images = sample_batch["images"]
+    variables = jax.jit(model.init, static_argnums=(2,))(rng, images[:1], False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, steps_per_epoch)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=opt_state)
+    if mesh is not None:
+        shardings = state_shardings(mesh, state)
+        state = jax.device_put(state, shardings)
+    return state, tx
+
+
+def state_shardings(mesh, state: TrainState):
+    """Sharding pytree for TrainState: params via param_shardings (TP-aware),
+    everything else replicated; optimizer moments follow their parameters."""
+    p_sh = param_shardings(mesh, state.params)
+
+    def opt_spec(leaf_path_tree):
+        return jax.tree.map(lambda _: replicated(mesh), leaf_path_tree)
+
+    # optimizer state contains pytrees shaped like params (adam mu/nu) plus
+    # scalars; map shapes-alike leaves to the matching param sharding
+    flat_params = jax.tree.leaves(state.params)
+    flat_shard = jax.tree.leaves(p_sh)
+    shape_to_shard = {}
+    for leaf, sh in zip(flat_params, flat_shard):
+        shape_to_shard.setdefault((leaf.shape, str(leaf.dtype)), sh)
+
+    def match(leaf):
+        return shape_to_shard.get((leaf.shape, str(leaf.dtype)), replicated(mesh))
+
+    return TrainState(
+        step=replicated(mesh),
+        params=p_sh,
+        batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
+        opt_state=jax.tree.map(match, state.opt_state),
+    )
+
+
+def make_train_step(cfg, model, tx, mesh=None) -> Callable:
+    """Build the jitted 2D train step.
+
+    batch: {'images': (B,H,W,3), 'target_heatmaps': (B,h,w,K),
+            'pose2d': (B,K,2) in heatmap px, 'visibility': (B,K)}
+    """
+    loss_computer = LossComputer2D(cfg)
+    use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], True, mutable=["batch_stats"],
+            )
+            pose2d_pred = decode_heatmaps(out.heatmaps, use_softmax)
+            total, loss_dict = loss_computer(
+                heatmaps_pred=out.heatmaps,
+                heatmaps_gt=batch.get("target_heatmaps"),
+                pose2d_pred=pose2d_pred,
+                pose2d_gt=batch.get("pose2d"),
+                visibility=batch.get("visibility"),
+            )
+            if out.temperature is not None:
+                loss_dict["temperature"] = out.temperature
+            return total, (mutated["batch_stats"], loss_dict)
+
+        grads, (new_stats, loss_dict) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, loss_dict
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    bsh = NamedSharding(mesh, P("data"))
+
+    def batch_shardings(batch):
+        return {k: NamedSharding(mesh, P(*(["data"] + [None] * (v.ndim - 1))))
+                for k, v in batch.items()}
+
+    # shardings resolved lazily on first call (need the state/batch trees)
+    compiled: Dict[str, Callable] = {}
+
+    def sharded_step(state, batch):
+        if "fn" not in compiled:
+            compiled["fn"] = jax.jit(
+                step_fn,
+                in_shardings=(state_shardings(mesh, state), batch_shardings(batch)),
+                out_shardings=(state_shardings(mesh, state),
+                               jax.tree.map(lambda _: replicated(mesh),
+                                            {"__placeholder__": 0})
+                               if False else None),
+                donate_argnums=(0,),
+            )
+        return compiled["fn"](state, batch)
+
+    return sharded_step
+
+
+def make_eval_step(cfg, model, mesh=None) -> Callable:
+    """Jitted eval step: forward (running BN stats), decode, optional
+    flip-test TTA (reference core/function.py:681-701)."""
+    from ..ops.flip import flip_back, shift_heatmap
+
+    use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
+    flip_test = bool(cfg.TEST.FLIP_TEST)
+    shift = bool(cfg.TEST.SHIFT_HEATMAP)
+
+    def step_fn(state: TrainState, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, batch["images"], False)
+        heatmaps = out.heatmaps
+        if flip_test:
+            out_f = model.apply(variables, batch["images"][:, :, ::-1, :], False)
+            hm_f = flip_back(out_f.heatmaps)
+            if shift:
+                hm_f = shift_heatmap(hm_f)
+            heatmaps = 0.5 * (heatmaps + hm_f)
+        pose2d_pred = decode_heatmaps(heatmaps, use_softmax)
+        return {"heatmaps": heatmaps, "pose2d_pred": pose2d_pred}
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    return jax.jit(step_fn)
+
+
+def make_forward_fn(cfg, model) -> Callable:
+    """Plain jitted inference forward: images -> (heatmaps, pose2d)."""
+    use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
+
+    @jax.jit
+    def fwd(variables, images):
+        out = model.apply(variables, images, False)
+        return out.heatmaps, decode_heatmaps(out.heatmaps, use_softmax)
+
+    return fwd
