@@ -186,23 +186,23 @@ class HRNetOutput(NamedTuple):
 
 class GlobalAveragePoolingHead(nn.Module):
     """Confidence head of the volumetric backbone
-    (reference pose_hrnet_volumetric.py:22-57): two ConvBNReLU+maxpool blocks
-    then a 2-layer MLP over globally averaged features."""
+    (reference pose_hrnet_volumetric.py:22-57): two Conv+BN -> maxpool -> ReLU
+    blocks, global average pool, then a 512-256-n MLP with sigmoid output."""
 
     out_features: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBN(512, 3, 1, relu=True, dtype=self.dtype, name="cb1")(x, train)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = ConvBN(256, 3, 1, relu=True, dtype=self.dtype, name="cb2")(x, train)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = ConvBN(512, 3, 1, relu=False, use_bias=True, dtype=self.dtype, name="cb1")(x, train)
+        x = nn.relu(nn.max_pool(x, (2, 2), strides=(2, 2)))
+        x = ConvBN(256, 3, 1, relu=False, use_bias=True, dtype=self.dtype, name="cb2")(x, train)
+        x = nn.relu(nn.max_pool(x, (2, 2), strides=(2, 2)))
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        x = nn.Dense(512, dtype=jnp.float32, name="fc1")(x)
-        x = nn.relu(x)
-        x = nn.Dense(self.out_features, dtype=jnp.float32, name="fc2")(x)
-        return jax.nn.softmax(x, axis=1)
+        x = nn.relu(nn.Dense(512, dtype=jnp.float32, name="fc1")(x))
+        x = nn.relu(nn.Dense(256, dtype=jnp.float32, name="fc2")(x))
+        x = nn.Dense(self.out_features, dtype=jnp.float32, name="fc3")(x)
+        return jax.nn.sigmoid(x)
 
 
 class PoseHRNet(nn.Module):

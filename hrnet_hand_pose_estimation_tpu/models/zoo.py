@@ -34,3 +34,26 @@ def _pose_hrnet_volumetric(cfg):
         vol_confidences=bool(cfg.MODEL.VOL_CONFIDENCES),
         alg_confidences=bool(cfg.MODEL.ALG_CONFIDENCES),
     )
+
+
+# 3D triangulation nets, keyed like the reference tools/train3D.py:152-158
+# registry ({'ransac', 'alg', 'vol'} via MODEL.TRIANGULATION_MODEL_NAME).
+@register("alg")
+def _alg(cfg):
+    from .triangulation import build_triangulation_net
+
+    return build_triangulation_net(cfg, "alg")
+
+
+@register("ransac")
+def _ransac(cfg):
+    from .triangulation import build_triangulation_net
+
+    return build_triangulation_net(cfg, "ransac")
+
+
+@register("vol")
+def _vol(cfg):
+    from .triangulation import build_triangulation_net
+
+    return build_triangulation_net(cfg, "vol")

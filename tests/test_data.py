@@ -1,0 +1,156 @@
+"""Data layer tests: transforms, pipeline, synthetic datasets, factory."""
+
+import numpy as np
+import pytest
+
+from hrnet_hand_pose_estimation_tpu.config import load_config
+from hrnet_hand_pose_estimation_tpu.data.build import (
+    HeatmapGeneratorFn,
+    build_dataset,
+    make_dataloader,
+)
+from hrnet_hand_pose_estimation_tpu.data.pipeline import DataLoader, default_collate
+from hrnet_hand_pose_estimation_tpu.data.synthetic import (
+    SyntheticDataset,
+    SyntheticMultiViewDataset,
+)
+from hrnet_hand_pose_estimation_tpu.data.transforms import (
+    HandTransforms,
+    affine_joints,
+    affine_matrix,
+    build_transforms,
+    denormalize_image,
+    normalize_image,
+)
+
+
+# ------------------------------------------------------------ transforms
+def test_affine_matrix_identity_resize():
+    """No-aug chain: scale=short/200 reduces to a plain resize."""
+    size = 100
+    mat = affine_matrix((size / 2, size / 2), size / 200.0, (64, 64))[:2]
+    pts = np.array([[0.0, 0.0], [size, size], [size / 2, size / 2]])
+    out = affine_joints(pts, mat)
+    np.testing.assert_allclose(out, pts * 64.0 / size, atol=1e-9)
+
+
+def test_affine_rotation_preserves_center():
+    mat = affine_matrix((50, 50), 0.5, (64, 64), rot=37.0)[:2]
+    out = affine_joints(np.array([[50.0, 50.0]]), mat)
+    np.testing.assert_allclose(out, [[32.0, 32.0]], atol=1e-6)
+
+
+def test_hand_transforms_no_aug_deterministic(rng):
+    t = HandTransforms(input_size=64, output_size=[16])
+    img = (rng.uniform(0, 255, size=(100, 100, 3))).astype(np.uint8)
+    joints = rng.uniform(0, 100, size=(21, 2)).astype(np.float32)
+    out_img, out_joints = t(img, [joints.copy()])
+    assert out_img.shape == (64, 64, 3)
+    assert out_img.dtype == np.float32
+    np.testing.assert_allclose(out_joints[0], joints * 16.0 / 100, atol=1e-5)
+
+
+def test_hand_transforms_flip():
+    t = HandTransforms(input_size=64, output_size=[16], flip_prob=1.0)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[:, :5] = 255  # bright left edge
+    joints = np.array([[10.0, 32.0]] * 21)
+    out_img, out_joints = t(img, [joints.copy()])
+    # u -> out_size - u - 1 (reference transforms.py:66-70)
+    np.testing.assert_allclose(out_joints[0][:, 0], 16 - 10 * 16 / 64 - 1, atol=1e-5)
+    # bright edge moved to the right
+    assert out_img[:, -3:].mean() > out_img[:, :3].mean()
+
+
+def test_normalize_roundtrip(rng):
+    img = rng.uniform(0, 255, size=(8, 8, 3)).astype(np.uint8)
+    back = denormalize_image(normalize_image(img))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_build_transforms_from_cfg():
+    cfg = load_config(freeze=False)
+    cfg.WITH_DATA_AUG = True
+    cfg.DATASET.FLIP = False
+    cfg.freeze()
+    t_train = build_transforms(cfg, is_train=True)
+    t_eval = build_transforms(cfg, is_train=False)
+    assert t_train.max_rotation == cfg.DATASET.MAX_ROTATION
+    assert t_eval.max_rotation == 0.0
+
+
+# -------------------------------------------------------------- pipeline
+def test_dataloader_shapes_and_epochs():
+    ds = SyntheticDataset(length=20, img_size=32, hm_size=8)
+    dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2, seed=1)
+    batches = list(dl)
+    assert len(batches) == 2  # drop_last
+    b = batches[0]
+    assert b["imgs"].shape == (8, 32, 32, 3)
+    assert b["heatmaps"].shape == (8, 8, 8, 21)
+    assert b["pose2d"].shape == (8, 21, 2)
+    # epoch changes order deterministically
+    dl.set_epoch(0)
+    first0 = next(iter(dl))["pose2d"]
+    dl.set_epoch(1)
+    first1 = next(iter(dl))["pose2d"]
+    dl.set_epoch(0)
+    first0b = next(iter(dl))["pose2d"]
+    assert not np.allclose(first0, first1)
+    np.testing.assert_allclose(first0, first0b)
+
+
+def test_synthetic_dataset_targets_match_joints():
+    ds = SyntheticDataset(length=4, img_size=64, hm_size=16)
+    s = ds[0]
+    for k in range(21):
+        u, v = s["pose2d"][k]
+        peak = np.unravel_index(s["heatmaps"][:, :, k].argmax(), (16, 16))
+        assert abs(peak[1] - u) <= 1.0 and abs(peak[0] - v) <= 1.0
+
+
+def test_synthetic_multiview_geometry_consistent():
+    ds = SyntheticMultiViewDataset(length=2, img_size=64, hm_size=16, n_views=3)
+    s = ds[0]
+    assert s["imgs"].shape == (3, 64, 64, 3)
+    assert s["extrinsic_matrices"].shape == (3, 3, 4)
+    # reproject pose3d through K[R|t]: must match stored pose2d (x hm scale)
+    K = s["intrinsic_matrix"]
+    for v in range(3):
+        ext = s["extrinsic_matrices"][v]
+        cam = ext[:, :3] @ s["pose3d"].T + ext[:, 3:]
+        uvw = K @ cam
+        uv = (uvw[:2] / uvw[2:]).T * (16 / 64)
+        np.testing.assert_allclose(uv, s["pose2d"][v], atol=1e-3)
+
+
+# --------------------------------------------------------------- factory
+def test_build_dataset_registry_unknown():
+    cfg = load_config()
+    with pytest.raises(KeyError):
+        build_dataset(cfg, "NotADataset", True)
+
+
+def test_make_dataloader_synthetic():
+    cfg = load_config(freeze=False)
+    cfg.DATASET.DATASET = ["Synthetic_kpt"]
+    cfg.DATASET.TEST_DATASET = ["Synthetic_kpt"]
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.TRAIN.IMAGES_PER_GPU = 2
+    cfg.WORKERS = 0
+    cfg.freeze()
+    loaders = make_dataloader(cfg, is_train=True, n_devices=2)
+    assert set(loaders) == {"Synthetic_kpt"}
+    batch = next(iter(loaders["Synthetic_kpt"]))
+    assert batch["imgs"].shape == (4, 64, 64, 3)   # 2 per-device x 2 devices
+
+
+def test_heatmap_generator_fn(rng):
+    gen = HeatmapGeneratorFn(16, sigma=2)
+    joints = rng.uniform(0, 16, size=(21, 2)).astype(np.float32)
+    hm = gen(joints, np.ones(21))
+    assert hm.shape == (16, 16, 21)
+    # reference-style packed call: vis as 3rd column
+    hm2 = gen(np.concatenate([joints, np.ones((21, 1))], 1))
+    np.testing.assert_allclose(hm, hm2)

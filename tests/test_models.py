@@ -65,7 +65,9 @@ def test_volumetric_head_confidences(tiny_cfg):
     out = model.apply(variables, x, False)
     assert out.confidences is not None
     assert out.confidences.shape == (2, 32)
-    np.testing.assert_allclose(np.asarray(out.confidences).sum(-1), 1.0, atol=1e-5)
+    # sigmoid head (reference pose_hrnet_volumetric.py:44): values in (0, 1)
+    c = np.asarray(out.confidences)
+    assert np.all((c > 0) & (c < 1))
 
 
 @pytest.mark.slow
