@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: tunnel compiles cost minutes; cache across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from hrnet_hand_pose_estimation_tpu.config import load_config
 from hrnet_hand_pose_estimation_tpu.config.defaults import POSE_HIGH_RESOLUTION_NET_EXTRA
 from hrnet_hand_pose_estimation_tpu.models import build_model

@@ -1,0 +1,97 @@
+"""2D evaluation engine: full-test-set EPE / PCK / AUC with artifact output.
+
+Re-design of reference tools/evaluate_2D.py:149-296:
+- raw (non-keypoint) eval datasets, batch forward, decode
+- rescale heatmap-space predictions back to the original image: RHD uses
+  crop_size/hm + corner (:235-239), other datasets orig_size/hm (:240-245)
+- visibility-masked per-joint EPE + PCK over thresholds 1..49 px (:268-274)
+- artifacts: ``mse2d_each_joint.txt`` + ``PCK2d.txt`` in
+  ``eval2D_results_<EXP_NAME>/`` with identical formats (:285-294), so the
+  reference's compare.py/--is_vis tooling reads ours unchanged
+- wall-clock fps with 20-batch warmup skip (:229-231,:280)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.decode import decode_heatmaps
+from .metrics import PoseMetricState, default_thresholds_2d, pck_at, pck_auc
+
+
+class Evaluator2D:
+    def __init__(self, cfg, model, variables, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
+
+        @jax.jit
+        def forward(variables, images):
+            out = model.apply(variables, images, False)
+            return out.heatmaps, decode_heatmaps(out.heatmaps, use_softmax)
+
+        self.forward = forward
+        self.thresholds = default_thresholds_2d()
+
+    def run(self, loader, dataset_name: str = "", output_dir: Optional[str] = None
+            ) -> Dict[str, float]:
+        cfg = self.cfg
+        hm_size = float(cfg.MODEL.HEATMAP_SIZE[0])
+        n_joints = int(cfg.DATASET.NUM_JOINTS)
+        metrics = PoseMetricState.create(n_joints, self.thresholds)
+
+        infer_time = [0, 0.0]
+        for i, batch in enumerate(loader):
+            images = jnp.asarray(batch["imgs"])
+            t0 = time.time()
+            heatmaps, pose2d_pred = self.forward(self.variables, images)
+            pose2d_pred = np.asarray(pose2d_pred)
+            if i > 20:
+                infer_time[0] += 1
+                infer_time[1] += time.time() - t0
+
+            pose2d_gt = np.asarray(batch["pose2d"], np.float32)
+            vis = np.asarray(batch["visibility"], np.float32)
+            if vis.ndim == 3:
+                vis = vis[..., 0]
+
+            # rescale to original image (reference :235-245)
+            if "corner" in batch and "RHD" in (dataset_name or "RHD"):
+                crop = np.asarray(batch["crop_size"], np.float32).reshape(-1, 1, 1)
+                corner = np.asarray(batch["corner"], np.float32)[:, None, :]
+                pose2d_pred = pose2d_pred * crop / hm_size + corner
+                pose2d_gt = pose2d_gt * crop / hm_size + corner
+            else:
+                ow, oh = getattr(loader.dataset, "orig_img_size", (hm_size, hm_size))
+                pose2d_pred = pose2d_pred * np.asarray([ow / hm_size, oh / hm_size])
+                pose2d_gt = pose2d_gt * np.asarray([ow / hm_size, oh / hm_size])
+
+            metrics = metrics.update(
+                jnp.asarray(pose2d_pred), jnp.asarray(pose2d_gt), jnp.asarray(vis),
+                self.thresholds)
+
+        epe = metrics.epe_per_joint()
+        pck = metrics.pck_curve()
+        fps = infer_time[0] * loader.batch_size / infer_time[1] if infer_time[1] else 0.0
+        th = np.asarray(self.thresholds)
+        results = {
+            "EPE_px": float(epe.mean()),
+            "PCK_AUC_30": pck_auc(pck, th),               # reference plot slice (misc.py:281)
+            "PCK_AUC_full": pck_auc(pck, th, end=None),
+            "PCK@20px": pck_at(pck, th, 20.0),
+            "fps": fps,
+        }
+
+        if output_dir:
+            result_dir = os.path.join(output_dir, f"eval2D_results_{cfg.EXP_NAME}")
+            os.makedirs(result_dir, exist_ok=True)
+            np.savetxt(os.path.join(result_dir, "mse2d_each_joint.txt"), epe, fmt="%.4f")
+            np.savetxt(os.path.join(result_dir, "PCK2d.txt"), np.stack((th, pck)))
+        return results

@@ -1,0 +1,51 @@
+"""Full-test-set 2D evaluation.
+
+Equivalent of reference tools/evaluate_2D.py:61-297: batch forward over the
+raw eval dataset, decode, rescale to original image, accumulate EPE/PCK,
+write ``eval2D_results_<EXP>/{mse2d_each_joint,PCK2d}.txt``.
+
+    python tools/evaluate_2d.py --cfg <exp.yaml> --model_path <ckpt>
+"""
+
+from __future__ import annotations
+
+import json
+
+from _common import base_parser, load_cfg, setup_platform
+
+
+def main() -> None:
+    p = base_parser(__doc__)
+    p.add_argument("--out", default="tools", help="artifact directory root")
+    args = p.parse_args()
+    setup_platform(args.platform)
+
+    import jax
+
+    from hrnet_hand_pose_estimation_tpu.core.evaluator import Evaluator2D
+    from hrnet_hand_pose_estimation_tpu.data.build import make_test_dataloader
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+    from hrnet_hand_pose_estimation_tpu.parallel.checkpoint import load_pretrained
+
+    cfg = load_cfg(args)
+    model = build_model(cfg)
+
+    loaders = make_test_dataloader(cfg)
+    name, loader = next(iter(loaders.items()))
+
+    if args.model_path:
+        variables = load_pretrained(args.model_path)
+    else:  # random init (smoke mode)
+        import jax.numpy as jnp
+
+        sample = next(iter(loader))
+        variables = jax.jit(model.init, static_argnums=(2,))(
+            jax.random.key(0), jnp.asarray(sample["imgs"][:1]), False)
+
+    evaluator = Evaluator2D(cfg, model, variables)
+    results = evaluator.run(loader, dataset_name=name, output_dir=args.out)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
