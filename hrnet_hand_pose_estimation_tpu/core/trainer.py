@@ -42,9 +42,11 @@ def _batch_for_step(batch: Dict) -> Dict:
         out["target_heatmaps"] = batch["heatmaps"]
     if "pose2d" in batch:
         out["pose2d"] = batch["pose2d"]
+    if "centermaps" in batch:  # CPM path (reference function.py:29-34)
+        out["centermaps"] = batch["centermaps"]
     if "visibility" in batch:
         vis = batch["visibility"]
-        out["visibility"] = vis[..., 0] if vis.ndim == 3 else vis
+        out["visibility"] = vis[..., 0] if vis.ndim == out["images"].ndim - 1 else vis
     return out
 
 
@@ -79,7 +81,9 @@ class Trainer:
             self.logger.info("loaded pretrained weights from %s",
                              cfg.MODEL.HRNET_PRETRAINED)
 
-        self.train_step = make_train_step(cfg, model, self.tx, self.mesh)
+        from .train_variants import pick_train_step
+
+        self.train_step = pick_train_step(cfg, model, self.tx, self.mesh)
         self.eval_step = make_eval_step(cfg, model, self.mesh)
         self.begin_epoch = int(cfg.TRAIN.BEGIN_EPOCH)
         self.best_loss = float("inf")

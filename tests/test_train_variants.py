@@ -1,0 +1,77 @@
+"""CPM / multi-view train-step variants + trainer dispatch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hrnet_hand_pose_estimation_tpu.core.train_variants import (
+    make_train_step_cpm,
+    make_train_step_mv,
+    pick_train_step,
+)
+from hrnet_hand_pose_estimation_tpu.models.cpm import CPM
+from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
+from hrnet_hand_pose_estimation_tpu.models.multiview_hrnet import MultiViewPoseNet
+from hrnet_hand_pose_estimation_tpu.ops.targets import gaussian_targets
+from hrnet_hand_pose_estimation_tpu.parallel.train_step import TrainState, make_optimizer
+
+
+def _state(model, tx, *init_args):
+    variables = model.init(jax.random.key(0), *init_args)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(variables["params"]))
+
+
+def test_cpm_step(tiny_cfg):
+    model = CPM(num_joints=21, dtype=jnp.float32)
+    tx = make_optimizer(tiny_cfg, 10)
+    img = jnp.zeros((2, 64, 64, 3))
+    cm = jnp.zeros((2, 64, 64, 1))
+    state = _state(model, tx, img, cm, False)
+    step = make_train_step_cpm(tiny_cfg, model, tx)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": img,
+        "centermaps": cm,
+        "target_heatmaps": gaussian_targets(
+            jnp.asarray(rng.uniform(0, 8, (2, 21, 2)).astype(np.float32)),
+            jnp.ones((2, 21)), 8, 1),
+    }
+    state, losses = step(state, batch)
+    assert np.isfinite(float(losses["total_loss"]))
+    state2, losses2 = step(state, batch)
+    assert float(losses2["total_loss"]) != float(losses["total_loss"])  # learning
+
+
+def test_mv_step(tiny_cfg):
+    cfg = tiny_cfg
+    model = MultiViewPoseNet(
+        backbone=hrnet_from_cfg(cfg, head="softmax", dtype=jnp.float32),
+        n_views=2, hm_size=16)
+    tx = make_optimizer(cfg, 10)
+    views = jnp.zeros((1, 2, 64, 64, 3))
+    state = _state(model, tx, views, False)
+    step = make_train_step_mv(cfg, model, tx)
+    rng = np.random.default_rng(0)
+    joints = jnp.asarray(rng.uniform(2, 14, (1, 2, 21, 2)).astype(np.float32))
+    batch = {
+        "images": views,
+        "pose2d": joints,
+        "visibility": jnp.ones((1, 2, 21)),
+        "target_heatmaps": gaussian_targets(
+            joints.reshape(2, 21, 2), jnp.ones((2, 21)), 16, 2).reshape(1, 2, 16, 16, 21),
+    }
+    state, losses = step(state, batch)
+    for k in ("total_loss", "raw_loss", "fused_loss"):
+        assert np.isfinite(float(losses[k]))
+
+
+def test_pick_dispatch(tiny_cfg):
+    cfg = tiny_cfg.clone().defrost()
+    cfg.MODEL.NAME = "CPM"
+    cfg.freeze()
+    model = CPM(num_joints=21)
+    tx = make_optimizer(cfg, 10)
+    fn = pick_train_step(cfg, model, tx)
+    assert fn is not None
