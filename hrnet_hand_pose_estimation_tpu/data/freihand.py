@@ -81,6 +81,42 @@ class FreiHandDataset:
             "img_path": img_path,
         }
 
+    def evaluate(self, cfg, preds: np.ndarray, scores=None,
+                 output_dir: str = ".", *args, **kwargs):
+        """Write a COCO-style keypoint json + return mean EPE vs projected GT
+        (reference FreiHandDataset.evaluate :127,288-357)."""
+        import json as _json
+
+        res_dir = os.path.join(output_dir, "results")
+        os.makedirs(res_dir, exist_ok=True)
+        res_file = os.path.join(
+            res_dir, f"keypoints_{self.__class__.__name__}_results.json")
+        with open(res_file, "w") as f:
+            _json.dump(_coco_keypoint_results(np.asarray(preds), scores), f)
+
+        errs = []
+        for i in range(min(len(preds), len(self))):
+            _, uv, _, _, _ = self._load_raw(i)
+            errs.append(np.linalg.norm(np.asarray(preds)[i][:, :2] - uv, axis=1).mean())
+        epe = float(np.mean(errs)) if errs else float("nan")
+        return {"EPE_px": epe, "res_file": res_file}
+
+
+def _coco_keypoint_results(preds: np.ndarray, scores: Optional[np.ndarray] = None):
+    """COCO-style keypoint result records (reference FreiHandDataset.evaluate
+    writes a keypoint json, :288-357)."""
+    out = []
+    for i, kp in enumerate(preds):
+        kps = np.concatenate(
+            [kp[:, :2], np.ones((kp.shape[0], 1), kp.dtype)], axis=1).reshape(-1)
+        out.append({
+            "image_id": int(i),
+            "category_id": 1,
+            "keypoints": [float(v) for v in kps],
+            "score": float(scores[i]) if scores is not None else 1.0,
+        })
+    return out
+
 
 class FreiHandDatasetKeypoints(FreiHandDataset):
     """Transform chain + heatmap targets (reference FreiHandDatasetKeypoints.py)."""

@@ -205,6 +205,57 @@ class GlobalAveragePoolingHead(nn.Module):
         return jax.nn.sigmoid(x)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters matching nn.Conv's tree ({kernel, bias})."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_init(),
+                            (1, 1, self.in_features, self.out_features))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        return kernel, bias
+
+
+class FusedHead(nn.Module):
+    """Concat-free HRNet head (see PoseHRNet.fused_head).
+
+    Parameter tree is identical to ``ConvBN(480, 1, use_bias=True)``:
+    {conv: {kernel, bias}, bn: {scale, bias}} (+ batch_stats bn), so the
+    standard and fused paths load the same checkpoints.
+    """
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], out_hw, train: bool = False):
+        # the reference last_layer maps total_in -> total_in channels
+        # (pose_hrnet.py:333-341, last_inp_channels on both sides)
+        total_in = sum(t.shape[-1] for t in xs)
+        kernel, bias = _ConvParams(total_in, total_in, name="conv")()
+        acc = None
+        offset = 0
+        for t in xs:
+            ci = t.shape[-1]
+            w_i = kernel[:, :, offset:offset + ci, :].astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                t.astype(self.dtype), w_i, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    t.shape, w_i.shape, ("NHWC", "HWIO", "NHWC")))
+            y = upsample_bilinear_align_corners(y, out_hw)
+            acc = y if acc is None else acc + y
+            offset += ci
+        acc = acc + bias.astype(self.dtype)
+        from .layers import BN_EPS, BN_MOMENTUM
+
+        acc = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=BN_EPS, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="bn")(acc)
+        return nn.relu(acc)
+
+
 class PoseHRNet(nn.Module):
     """HRNet + heatmap head.
 
@@ -225,17 +276,34 @@ class PoseHRNet(nn.Module):
     alg_confidences: bool = False
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    fused_head: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> HRNetOutput:
         xs = HRNetBackbone(self.stage2, self.stage3, self.stage4,
                            dtype=self.dtype, remat=self.remat, name="backbone")(x, train)
 
-        # head: bilinear(align_corners) upsample branches 1..3 to 1/4 res and
-        # concat -> 480ch features (reference pose_hrnet.py:499-506)
         h, w = xs[0].shape[1:3]
-        feats = [xs[0]] + [upsample_bilinear_align_corners(t, (h, w)) for t in xs[1:]]
-        features = jnp.concatenate(feats, axis=-1)
+        use_fused = (self.fused_head and not train
+                     and not (self.vol_confidences or self.alg_confidences))
+
+        if use_fused:
+            # Inference fast path, mathematically identical to the reference
+            # head: a 1x1 conv distributes over channel concat and commutes
+            # with (linear) bilinear upsampling, so instead of materialising
+            # the 480ch full-res concat (the single biggest HBM tensor of the
+            # whole forward) we conv each branch AT ITS NATIVE RESOLUTION
+            # with the matching kernel slice, upsample the 480ch results and
+            # sum — ~8x fewer head-conv FLOPs and no concat traffic.  Owns
+            # the SAME head_cb parameter tree, so checkpoints are
+            # interchangeable with the standard path.
+            features = xs[0]  # fused path does not materialise the concat
+            y = FusedHead(dtype=self.dtype, name="head_cb")(xs, (h, w), train)
+        else:
+            # head: bilinear(align_corners) upsample branches 1..3 to 1/4 res
+            # and concat -> 480ch features (reference pose_hrnet.py:499-506)
+            feats = [xs[0]] + [upsample_bilinear_align_corners(t, (h, w)) for t in xs[1:]]
+            features = jnp.concatenate(feats, axis=-1)
 
         confidences = None
         if self.vol_confidences or self.alg_confidences:
@@ -243,10 +311,11 @@ class PoseHRNet(nn.Module):
                 self.num_joints if self.alg_confidences else 32,
                 dtype=self.dtype, name="confidence_head")(features, train)
 
-        # last_layer: 1x1 conv + BN + ReLU + final conv (reference :335-350);
-        # the reference head convs are nn.Conv2d with default bias=True.
-        y = ConvBN(features.shape[-1], 1, 1, relu=True, use_bias=True,
-                   dtype=self.dtype, name="head_cb")(features, train)
+        if not use_fused:
+            # last_layer: 1x1 conv + BN + ReLU + final conv (reference
+            # :335-350); the reference head convs carry biases.
+            y = ConvBN(features.shape[-1], 1, 1, relu=True, use_bias=True,
+                       dtype=self.dtype, name="head_cb")(features, train)
         pad = 1 if self.final_conv_kernel == 3 else 0
         y = nn.Conv(self.num_joints, (self.final_conv_kernel,) * 2,
                     padding=((pad, pad), (pad, pad)),

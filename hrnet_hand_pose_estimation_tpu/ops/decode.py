@@ -82,6 +82,42 @@ def heatmap_maxvals(heatmaps: jax.Array) -> jax.Array:
     return jnp.max(heatmaps, axis=(1, 2))[..., None]
 
 
+def get_max_preds_with_maxvals(heatmaps: jax.Array):
+    """Upstream-style argmax decode returning (preds, maxvals); predictions
+    with non-positive peaks are zeroed (reference lib/core/inference.py:18-52,
+    the numpy get_max_preds)."""
+    preds = hard_argmax(heatmaps)
+    maxvals = heatmap_maxvals(heatmaps)
+    mask = (maxvals > 0.0).astype(jnp.float32)
+    return preds * mask, maxvals
+
+
+def quarter_offset_refine(heatmaps: jax.Array, coords: jax.Array) -> jax.Array:
+    """Upstream post-processing: shift each argmax prediction 0.25 px toward
+    the larger neighbouring activation (reference lib/core/inference.py:59-77).
+
+    heatmaps: (B, H, W, K); coords: (B, K, 2) integer argmax positions.
+    """
+    b, h, w, k = heatmaps.shape
+    hms = heatmaps.astype(jnp.float32)
+    px = coords[..., 0].astype(jnp.int32)
+    py = coords[..., 1].astype(jnp.int32)
+
+    bidx = jnp.arange(b)[:, None]
+    kidx = jnp.arange(k)[None, :]
+
+    def at(dy, dx):
+        yy = jnp.clip(py + dy, 0, h - 1)
+        xx = jnp.clip(px + dx, 0, w - 1)
+        return hms[bidx, yy, xx, kidx]
+
+    sign_x = jnp.sign(at(0, 1) - at(0, -1))
+    sign_y = jnp.sign(at(1, 0) - at(-1, 0))
+    inside = (px > 1) & (px < w - 1) & (py > 1) & (py < h - 1)
+    offset = jnp.stack([sign_x, sign_y], axis=-1) * 0.25
+    return coords + jnp.where(inside[..., None], offset, 0.0)
+
+
 def taylor_refine(heatmaps: jax.Array, coords: jax.Array) -> jax.Array:
     """Batched 2nd-order Taylor sub-pixel refinement (reference :23-52).
 

@@ -26,19 +26,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_kernel(temp_ref, logits_ref, u_ref, v_ref):
-    """logits_ref: (1, H, W, K); u_ref/v_ref: (1, K)."""
-    x = logits_ref[0].astype(jnp.float32) * temp_ref[0]          # (H, W, K)
-    h, w, k = x.shape
-    m = jnp.max(x, axis=(0, 1), keepdims=True)
-    e = jnp.exp(x - m)                                           # (H, W, K)
-    s = jnp.sum(e, axis=(0, 1))                                  # (K,)
-    us = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 1)
-    vs = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 0)
-    eu = jnp.sum(e * us, axis=(0, 1))
-    ev = jnp.sum(e * vs, axis=(0, 1))
-    u_ref[0] = eu / s
-    v_ref[0] = ev / s
+_LANES = 128  # TPU lane width; K pads up to this in the kernel outputs
+
+
+def _decode_kernel(w_ref, temp_ref, logits_ref, u_ref, v_ref):
+    """logits_ref: (TB, K, HW) — spatial on lanes (K on lanes pads 21->128
+    and blows VMEM 6x); u_ref/v_ref: (TB, 128) (K zero-padded)."""
+    x = logits_ref[...].astype(jnp.float32) * temp_ref[0]        # (TB, K, HW)
+    tb, k, hw = x.shape
+    w = w_ref[0]
+    m = jnp.max(x, axis=2, keepdims=True)
+    e = jnp.exp(x - m)                                           # (TB, K, HW)
+    s = jnp.sum(e, axis=2)                                       # (TB, K)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hw), 2)
+    us = (idx % w).astype(jnp.float32)
+    vs = (idx // w).astype(jnp.float32)
+    eu = jnp.sum(e * us, axis=2) / s                             # (TB, K)
+    ev = jnp.sum(e * vs, axis=2) / s
+    pad = _LANES - k
+    u_ref[...] = jnp.pad(eu, ((0, 0), (0, pad)))
+    v_ref[...] = jnp.pad(ev, ((0, 0), (0, pad)))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -47,28 +54,38 @@ def fused_softmax_decode(logits: jax.Array, temperature: jax.Array | float = 1.0
     """logits: (B, H, W, K) raw heatmap logits -> (B, K, 2) [u, v] coords.
 
     Equivalent to ``soft_argmax(spatial_softmax(logits, temperature))``.
+    Processes 8 samples per grid program (TPU sublane alignment); batches
+    not divisible by 8 are padded.
     """
     b, h, w, k = logits.shape
+    x = logits.transpose(0, 3, 1, 2).reshape(b, k, h * w)
+    pad_b = (-b) % 8
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+    tb = 8
+    nb = x.shape[0]
     temp = jnp.asarray(temperature, jnp.float32).reshape(1)
+    width = jnp.asarray([w], jnp.int32)
     u, v = pl.pallas_call(
         _decode_kernel,
-        grid=(b,),
+        grid=(nb // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w, k), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, k, h * w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _LANES), jnp.float32),
         ),
         interpret=interpret,
-    )(temp, logits)
-    return jnp.stack([u, v], axis=-1)
+    )(width, temp, x)
+    return jnp.stack([u[:b, :k], v[:b, :k]], axis=-1)
 
 
 def _targets_kernel(coords_ref, vis_ref, params_ref, out_ref):
@@ -83,8 +100,8 @@ def _targets_kernel(coords_ref, vis_ref, params_ref, out_ref):
     y = jnp.trunc(coords_ref[0, :, 1]).astype(jnp.float32)
     valid = (vis_ref[0] > 0) & (x >= 0) & (y >= 0) & (x < w) & (y < h)
 
-    px = jax.lax.broadcasted_iota(jnp.float32, (h, w, k), 1)
-    py = jax.lax.broadcasted_iota(jnp.float32, (h, w, k), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w, k), 1).astype(jnp.float32)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w, k), 0).astype(jnp.float32)
     dx = px - x[None, None, :]
     dy = py - y[None, None, :]
     g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))

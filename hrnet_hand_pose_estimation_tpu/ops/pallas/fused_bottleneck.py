@@ -1,0 +1,172 @@
+"""Pallas TPU kernel: fused bottleneck-block chain (HRNet layer1).
+
+PERF.md's stage ablation shows layer1 (4 bottleneck blocks at 64x64x256,
+reference pose_hrnet.py:292) is HBM-bound: ~2.8 GB of activation traffic
+per 128-batch step through XLA's per-conv schedule.  This kernel runs the
+whole 4-block chain per sample with every intermediate VMEM-resident —
+HBM sees one (64,64,64) read and one (64,64,256) write per sample, a ~5x
+traffic cut for the layer.
+
+Assumes BatchNorm has been folded (utils/fold_bn.py), so each conv is
+kernel + per-channel bias and blocks reduce to:
+
+    y = relu(conv1x1_3(relu(conv3x3_2(relu(conv1x1_1(x))))) + shortcut(x))
+
+Convs are expressed as MXU matmuls: 1x1 directly on the (HW, C) flattening,
+3x3 as 9 shifted matmuls over a zero-padded VMEM copy.  All accumulation in
+f32, activations bf16.
+
+Weight layout per block (see ``extract_layer1_params``):
+    w1 (Cin, Cm), b1 (Cm); w2 (3, 3, Cm, Cm), b2 (Cm); w3 (Cm, Cout),
+    b3 (Cout); optional ws (Cin, Cout), bs (Cout) for the projection
+    shortcut (block 0 only in layer1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_body(x_hw_c, params, has_shortcut):
+    """One folded bottleneck on a (H, W, Cin) VMEM value."""
+    h, w, cin = x_hw_c.shape
+    hp = jax.lax.Precision.HIGHEST  # bf16 inputs; accumulate f32
+    flat = x_hw_c.reshape(h * w, cin)
+
+    y = jnp.dot(flat, params["w1"], preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + params["b1"], 0.0).astype(jnp.bfloat16)     # (HW, Cm)
+    cm = y.shape[-1]
+
+    ypad = jnp.pad(y.reshape(h, w, cm), ((1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((h * w, cm), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            win = ypad[di:di + h, dj:dj + w, :].reshape(h * w, cm)
+            acc = acc + jnp.dot(win, params["w2"][di, dj],
+                                preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc + params["b2"], 0.0).astype(jnp.bfloat16)
+
+    out = jnp.dot(y, params["w3"], preferred_element_type=jnp.float32)
+    out = out + params["b3"]
+
+    if has_shortcut:
+        sc = jnp.dot(flat, params["ws"], preferred_element_type=jnp.float32)
+        sc = sc + params["bs"]
+    else:
+        sc = flat.astype(jnp.float32)
+    return jnp.maximum(out + sc, 0.0).astype(jnp.bfloat16).reshape(h, w, -1)
+
+
+def _make_kernel(n_blocks: int, shortcut_flags: Tuple[bool, ...]):
+    def kernel(x_ref, *refs):
+        # refs: per-block param refs (flattened), then out_ref last
+        out_ref = refs[-1]
+        param_refs = refs[:-1]
+        x = x_ref[0]
+        idx = 0
+        for b in range(n_blocks):
+            names = ["w1", "b1", "w2", "b2", "w3", "b3"]
+            if shortcut_flags[b]:
+                names += ["ws", "bs"]
+            params = {}
+            for name in names:
+                params[name] = param_refs[idx][...]
+                idx += 1
+            x = _block_body(x, params, shortcut_flags[b])
+        out_ref[0] = x
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("shortcut_flags", "out_channels", "interpret"))
+def fused_bottleneck_chain(x: jax.Array, params_flat: Tuple[jax.Array, ...],
+                           shortcut_flags: Tuple[bool, ...] = (True, False, False, False),
+                           out_channels: int = 256,
+                           interpret: bool = False) -> jax.Array:
+    """x: (B, H, W, Cin) bf16 -> (B, H, W, out_channels) bf16.
+
+    ``params_flat``: per-block params in order (w1,b1,w2,b2,w3,b3[,ws,bs]).
+    """
+    b, h, w, cin = x.shape
+    n_blocks = len(shortcut_flags)
+    kernel = _make_kernel(n_blocks, tuple(shortcut_flags))
+    in_specs = [pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for p in params_flat:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, w, out_channels), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, out_channels), jnp.bfloat16),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, *params_flat)
+
+
+def extract_layer1_params(folded_variables: Dict) -> Tuple[Tuple[jax.Array, ...],
+                                                           Tuple[bool, ...]]:
+    """Pull the folded layer1 weights out of a PoseHRNet variables tree
+    (after utils/fold_bn.fold_batchnorm) into the kernel's flat layout."""
+    layer1 = folded_variables["params"]["backbone"]["layer1"]
+    flat: List[jax.Array] = []
+    flags: List[bool] = []
+    for bidx in range(4):
+        blk = layer1[f"block{bidx}"]
+
+        def conv_of(cb):
+            k = blk[cb]["conv"]["kernel"]
+            # folded BN bias lives on the bn node (fold_bn keeps it there)
+            bias = blk[cb]["bn"]["bias"]
+            return k, bias
+
+        k1, b1 = conv_of("cb1")
+        k2, b2 = conv_of("cb2")
+        k3, b3 = conv_of("cb3")
+        flat += [jnp.asarray(k1)[0, 0].astype(jnp.bfloat16), jnp.asarray(b1, jnp.float32),
+                 jnp.asarray(k2).astype(jnp.bfloat16), jnp.asarray(b2, jnp.float32),
+                 jnp.asarray(k3)[0, 0].astype(jnp.bfloat16), jnp.asarray(b3, jnp.float32)]
+        if "downsample" in blk:
+            ks, bs = conv_of("downsample")
+            flat += [jnp.asarray(ks)[0, 0].astype(jnp.bfloat16),
+                     jnp.asarray(bs, jnp.float32)]
+            flags.append(True)
+        else:
+            flags.append(False)
+    return tuple(flat), tuple(flags)
+
+
+def layer1_reference(x: jax.Array, params_flat, shortcut_flags) -> jax.Array:
+    """XLA reference of the same folded chain (for parity tests/benchmarks)."""
+    idx = 0
+    y = x
+    for has_sc in shortcut_flags:
+        names = ["w1", "b1", "w2", "b2", "w3", "b3"] + (["ws", "bs"] if has_sc else [])
+        p = {}
+        for n in names:
+            p[n] = params_flat[idx]
+            idx += 1
+        flat_in = y.astype(jnp.float32)
+        h1 = jax.nn.relu(jnp.einsum("bhwc,cm->bhwm", flat_in, p["w1"].astype(jnp.float32)) + p["b1"])
+        dn = jax.lax.conv_dimension_numbers(h1.shape, p["w2"].shape, ("NHWC", "HWIO", "NHWC"))
+        h2 = jax.lax.conv_general_dilated(h1, p["w2"].astype(jnp.float32), (1, 1),
+                                          [(1, 1), (1, 1)], dimension_numbers=dn)
+        h2 = jax.nn.relu(h2 + p["b2"])
+        h3 = jnp.einsum("bhwc,cm->bhwm", h2, p["w3"].astype(jnp.float32)) + p["b3"]
+        if has_sc:
+            sc = jnp.einsum("bhwc,cm->bhwm", flat_in, p["ws"].astype(jnp.float32)) + p["bs"]
+        else:
+            sc = flat_in
+        y = jax.nn.relu(h3 + sc).astype(jnp.bfloat16)
+    return y

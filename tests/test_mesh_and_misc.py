@@ -1,0 +1,96 @@
+"""Graph utils, mesh net, FreiHand evaluate json, quarter-offset decode."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hrnet_hand_pose_estimation_tpu.ops.decode import (
+    get_max_preds_with_maxvals,
+    hard_argmax,
+    quarter_offset_refine,
+)
+from hrnet_hand_pose_estimation_tpu.utils.graph import (
+    adjacency_from_edges,
+    chebyshev_basis,
+    coarsen_levels,
+    greedy_coarsen,
+    normalized_laplacian,
+    rescaled_laplacian,
+)
+
+
+def test_laplacian_properties():
+    adj = adjacency_from_edges(5, np.array([[0, 1], [1, 2], [2, 3], [3, 4]]))
+    lap = normalized_laplacian(adj)
+    evals = np.linalg.eigvalsh(lap)
+    assert evals.min() >= -1e-6
+    assert evals.max() <= 2.0 + 1e-6
+    # constant-ish vector in near-nullspace: L D^{1/2} 1 = 0
+    d = adj.sum(1)
+    v = np.sqrt(d)
+    np.testing.assert_allclose(lap @ v, 0.0, atol=1e-6)
+
+
+def test_coarsening_halves():
+    adj = adjacency_from_edges(8, np.array([[i, i + 1] for i in range(7)]))
+    coarse, cl = greedy_coarsen(adj)
+    assert coarse.shape[0] == 4
+    adjs, clusters = coarsen_levels(adj, 2)
+    assert len(adjs) == 3 and adjs[-1].shape[0] <= 2
+
+
+def test_chebyshev_basis():
+    adj = adjacency_from_edges(4, np.array([[0, 1], [1, 2], [2, 3]]))
+    basis = chebyshev_basis(rescaled_laplacian(adj), 3)
+    assert basis.shape == (3, 4, 4)
+    np.testing.assert_allclose(basis[0], np.eye(4), atol=1e-6)
+
+
+def test_mesh_net_shapes():
+    from hrnet_hand_pose_estimation_tpu.models.mesh import build_hand_mesh_net
+
+    net = build_hand_mesh_net()
+    feats = jnp.zeros((2, 8, 8, 32))
+    v = net.init(jax.random.key(0), feats, False)
+    mesh, pose = net.apply(v, feats, False)
+    assert mesh.shape == (2, 21, 3)
+    assert pose.shape == (2, 21, 3)
+
+
+def test_quarter_offset_refine():
+    hm = np.zeros((1, 16, 16, 1), np.float32)
+    hm[0, 8, 8, 0] = 1.0
+    hm[0, 8, 9, 0] = 0.5   # right neighbour larger than left -> +0.25 in u
+    hm[0, 7, 8, 0] = 0.3   # upper neighbour larger than lower -> -0.25 in v
+    coords = hard_argmax(jnp.asarray(hm))
+    refined = np.asarray(quarter_offset_refine(jnp.asarray(hm), coords))
+    np.testing.assert_allclose(refined[0, 0], [8.25, 7.75])
+
+
+def test_get_max_preds_zeroes_nonpositive():
+    hm = -np.ones((1, 8, 8, 2), np.float32)
+    hm[0, 3, 4, 0] = 2.0  # channel 0 positive peak; channel 1 all negative
+    preds, maxvals = get_max_preds_with_maxvals(jnp.asarray(hm))
+    assert np.asarray(preds)[0, 0].tolist() == [4.0, 3.0]
+    assert np.asarray(preds)[0, 1].tolist() == [0.0, 0.0]
+
+
+def test_freihand_evaluate_writes_json(tmp_path, monkeypatch, rng):
+    from hrnet_hand_pose_estimation_tpu.data import freihand
+
+    ds = freihand.FreiHandDataset.__new__(freihand.FreiHandDataset)
+    uv = rng.uniform(0, 200, size=(21, 2)).astype(np.float32)
+    monkeypatch.setattr(ds, "sample_lst", range(2), raising=False)
+    monkeypatch.setattr(
+        freihand.FreiHandDataset, "_load_raw",
+        lambda self, i: (None, uv, None, None, None), raising=False)
+    preds = np.stack([uv + 1.0, uv + 2.0])  # EPE ~ sqrt(2), 2*sqrt(2)
+    out = ds.evaluate(None, preds, None, str(tmp_path))
+    assert os.path.exists(out["res_file"])
+    data = json.load(open(out["res_file"]))
+    assert len(data) == 2 and len(data[0]["keypoints"]) == 63
+    assert out["EPE_px"] == pytest.approx((np.sqrt(2) + 2 * np.sqrt(2)) / 2, rel=1e-4)

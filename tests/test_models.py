@@ -128,3 +128,23 @@ def test_hrnet_torch_parity_small():
     j_feat = np.asarray(out.features).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(j_feat, t_feat.numpy(), atol=2e-4)
     np.testing.assert_allclose(j_hm, t_hm.numpy(), atol=1e-6)
+
+
+def test_fused_head_parity(tiny_cfg):
+    """FusedHead == standard concat head with the same checkpoint (0 diff)."""
+    rng = np.random.default_rng(1)
+    std = hrnet_from_cfg(tiny_cfg, head="softmax", dtype=jnp.float32)
+    fused = hrnet_from_cfg(tiny_cfg, head="softmax", dtype=jnp.float32,
+                           fused_head=True)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    v = std.init(jax.random.key(0), x, False)
+    # positive random parameters (BN var must stay positive)
+    v = jax.tree.map(
+        lambda a: jnp.asarray(np.abs(rng.normal(size=a.shape)).astype(np.float32))
+        * 0.1 + 0.05, v)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        fused.init(jax.random.key(0), x, False))
+    o1 = std.apply(v, x, False)
+    o2 = fused.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(o1.heatmaps), np.asarray(o2.heatmaps),
+                               atol=1e-6)
