@@ -103,6 +103,42 @@ class HRModule(nn.Module):
         return fused
 
 
+def _pallas_layer1_apply(variables, x: jax.Array) -> jax.Array:
+    """Run layer1 through the fused Pallas bottleneck chain, folding BN into
+    the conv weights inline (eval semantics; exact — see utils/fold_bn.py)."""
+    from ..models.layers import BN_EPS
+    from ..ops.pallas.fused_bottleneck import fused_bottleneck_chain
+
+    params = variables["params"]["layer1"]
+    stats = variables["batch_stats"]["layer1"]
+
+    def folded(cb_p, cb_s):
+        inv = cb_p["bn"]["scale"] / jnp.sqrt(cb_s["bn"]["var"] + BN_EPS)
+        kernel = cb_p["conv"]["kernel"] * inv
+        bias = cb_p["bn"]["bias"] - cb_s["bn"]["mean"] * inv
+        return kernel, bias
+
+    flat = []
+    flags = []
+    for bidx in range(4):
+        blk_p, blk_s = params[f"block{bidx}"], stats[f"block{bidx}"]
+        k1, b1 = folded(blk_p["cb1"], blk_s["cb1"])
+        k2, b2 = folded(blk_p["cb2"], blk_s["cb2"])
+        k3, b3 = folded(blk_p["cb3"], blk_s["cb3"])
+        flat += [k1[0, 0].astype(jnp.bfloat16), b1.astype(jnp.float32),
+                 k2.astype(jnp.bfloat16), b2.astype(jnp.float32),
+                 k3[0, 0].astype(jnp.bfloat16), b3.astype(jnp.float32)]
+        if "downsample" in blk_p:
+            ks, bs = folded(blk_p["downsample"], blk_s["downsample"])
+            flat += [ks[0, 0].astype(jnp.bfloat16), bs.astype(jnp.float32)]
+            flags.append(True)
+        else:
+            flags.append(False)
+    out = fused_bottleneck_chain(x.astype(jnp.bfloat16), tuple(flat),
+                                 tuple(flags), out_channels=256)
+    return out.astype(x.dtype)
+
+
 class HRNetBackbone(nn.Module):
     """Stem + stage1 bottleneck layer + stages 2-4 (reference :283-488)."""
 
@@ -111,6 +147,7 @@ class HRNetBackbone(nn.Module):
     stage4: StageCfg
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    pallas_layer1: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
@@ -118,8 +155,14 @@ class HRNetBackbone(nn.Module):
         # stem: two stride-2 3x3 convs -> 1/4 resolution (reference :285-291)
         x = ConvBN(64, 3, 2, relu=True, dtype=self.dtype, name="stem1")(x, train)
         x = ConvBN(64, 3, 2, relu=True, dtype=self.dtype, name="stem2")(x, train)
-        # layer1: 4 bottlenecks -> 256ch (reference :292)
-        x = ResLayer("BOTTLENECK", 64, 4, 64, dtype=self.dtype, name="layer1")(x, train)
+        # layer1: 4 bottlenecks -> 256ch (reference :292).  Inference can run
+        # the whole chain as one Pallas kernel with VMEM-resident
+        # intermediates (PERF.md: 4.2 vs 5.7 ms at B=128) — parameters stay
+        # identical; BN folds into the kernel weights on the fly.
+        if self.pallas_layer1 and not train and not self.is_initializing():
+            x = _pallas_layer1_apply(self.variables, x)
+        else:
+            x = ResLayer("BOTTLENECK", 64, 4, 64, dtype=self.dtype, name="layer1")(x, train)
 
         mod_cls = nn.remat(HRModule, static_argnums=(2,)) if self.remat else HRModule
 
@@ -277,11 +320,14 @@ class PoseHRNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
     fused_head: bool = False
+    pallas_layer1: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> HRNetOutput:
         xs = HRNetBackbone(self.stage2, self.stage3, self.stage4,
-                           dtype=self.dtype, remat=self.remat, name="backbone")(x, train)
+                           dtype=self.dtype, remat=self.remat,
+                           pallas_layer1=self.pallas_layer1,
+                           name="backbone")(x, train)
 
         h, w = xs[0].shape[1:3]
         use_fused = (self.fused_head and not train

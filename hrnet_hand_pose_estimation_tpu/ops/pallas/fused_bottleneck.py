@@ -44,13 +44,15 @@ def _block_body(x_hw_c, params, has_shortcut):
     y = jnp.maximum(y + params["b1"], 0.0).astype(jnp.bfloat16)     # (HW, Cm)
     cm = y.shape[-1]
 
+    # 3x3 conv as ONE im2col matmul: (HW, 9*Cm) @ (9*Cm, Cm).  The taller
+    # contracting dim keeps the MXU busy (9 separate (.., Cm) matmuls leave
+    # most of the systolic array idle for Cm=64).
     ypad = jnp.pad(y.reshape(h, w, cm), ((1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((h * w, cm), jnp.float32)
-    for di in range(3):
-        for dj in range(3):
-            win = ypad[di:di + h, dj:dj + w, :].reshape(h * w, cm)
-            acc = acc + jnp.dot(win, params["w2"][di, dj],
-                                preferred_element_type=jnp.float32)
+    cols = jnp.concatenate(
+        [ypad[di:di + h, dj:dj + w, :].reshape(h * w, cm)
+         for di in range(3) for dj in range(3)], axis=1)            # (HW, 9Cm)
+    w2 = params["w2"].reshape(9 * cm, cm)
+    acc = jnp.dot(cols, w2, preferred_element_type=jnp.float32)
     y = jnp.maximum(acc + params["b2"], 0.0).astype(jnp.bfloat16)
 
     out = jnp.dot(y, params["w3"], preferred_element_type=jnp.float32)
