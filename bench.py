@@ -71,10 +71,15 @@ def main() -> None:
             for _ in range(n_bufs)]
     variables = jax.jit(model.init, static_argnums=(2,))(jax.random.key(0), bufs[0][:1], False)
 
+    # production fast path: Pallas fused layer1 + fused head/softmax/decode
+    # (exact eval math, parity-tested against the standard model; PERF.md)
+    from hrnet_hand_pose_estimation_tpu.core.fast_infer import make_fast_infer
+
+    fast = make_fast_infer(cfg, pallas_layer1=True)
+
     @jax.jit
     def infer(variables, images):
-        out = model.apply(variables, images, False)
-        pose = decode_heatmaps(out.heatmaps, True)
+        pose = fast(variables, images)
         return jnp.sum(pose)  # tiny result; fetch forces full execution
 
     float(infer(variables, bufs[0]))  # compile + warm

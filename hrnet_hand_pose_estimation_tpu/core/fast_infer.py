@@ -18,7 +18,11 @@ from ..models.hrnet import HRNetBackbone, StageCfg
 from ..ops.pallas.fused_head_decode import fused_head_decode, prepare_head_params
 
 
-def make_fast_infer(cfg, pallas_layer1: bool = True, interpret: bool = False):
+def make_fast_infer(cfg, pallas_layer1: bool = True,
+                    pallas_branches: bool = False, interpret: bool = False):
+    # pallas_branches defaults OFF: the per-branch BasicBlock kernels measured
+    # 4x slower than XLA on TPU (tiny per-program work serialises branches XLA
+    # runs concurrently; PERF.md) — kept for experimentation only.
     extra = cfg.MODEL.EXTRA
     backbone = HRNetBackbone(
         stage2=StageCfg.from_cfg(extra["STAGE2"]),
@@ -26,6 +30,7 @@ def make_fast_infer(cfg, pallas_layer1: bool = True, interpret: bool = False):
         stage4=StageCfg.from_cfg(extra["STAGE4"]),
         dtype=jnp.bfloat16,
         pallas_layer1=pallas_layer1,
+        pallas_branches=pallas_branches,
     )
 
     @jax.jit

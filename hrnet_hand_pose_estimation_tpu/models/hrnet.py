@@ -52,6 +52,27 @@ class StageCfg(NamedTuple):
         return tuple(c * exp for c in self.num_channels)
 
 
+def _pallas_basic_branch_apply(variables, x: jax.Array, branch: str,
+                               n_blocks: int) -> jax.Array:
+    """Run a BasicBlock branch chain through the fused Pallas kernel with
+    BN folded inline (eval semantics, exact)."""
+    from ..models.layers import BN_EPS
+    from ..ops.pallas.fused_bottleneck import fused_basic_chain
+
+    params = variables["params"][branch]
+    stats = variables["batch_stats"][branch]
+    flat = []
+    for bidx in range(n_blocks):
+        blk_p, blk_s = params[f"block{bidx}"], stats[f"block{bidx}"]
+        for cb in ("cb1", "cb2"):
+            inv = blk_p[cb]["bn"]["scale"] / jnp.sqrt(blk_s[cb]["bn"]["var"] + BN_EPS)
+            flat.append((blk_p[cb]["conv"]["kernel"] * inv).astype(jnp.bfloat16))
+            flat.append((blk_p[cb]["bn"]["bias"]
+                         - blk_s[cb]["bn"]["mean"] * inv).astype(jnp.float32))
+    out = fused_basic_chain(x.astype(jnp.bfloat16), tuple(flat), n_blocks)
+    return out.astype(x.dtype)
+
+
 class HRModule(nn.Module):
     """One HighResolutionModule: per-branch residual blocks + exchange fusion
     (reference pose_hrnet.py:101-266)."""
@@ -60,14 +81,23 @@ class HRModule(nn.Module):
     in_channels: Tuple[int, ...]
     multi_scale_output: bool = True
     dtype: Dtype = jnp.bfloat16
+    pallas_branches: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jax.Array], train: bool = False):
         s = self.stage
         out_ch = s.out_channels
-        # branches (reference :139-185)
+        # branches (reference :139-185).  Eval can run each BASIC chain as a
+        # fused Pallas kernel (intermediates stay in VMEM; see PERF.md); the
+        # chains are plain (stride-1, channel-preserving) so in==out.
+        use_pallas = (self.pallas_branches and not train
+                      and not self.is_initializing() and s.block == "BASIC")
         ys = []
         for i in range(s.num_branches):
+            if use_pallas and self.in_channels[i] == out_ch[i]:
+                ys.append(_pallas_basic_branch_apply(
+                    self.variables, xs[i], f"branch{i}", s.num_blocks[i]))
+                continue
             ys.append(
                 ResLayer(s.block, s.num_channels[i], s.num_blocks[i],
                          self.in_channels[i], dtype=self.dtype, name=f"branch{i}")(xs[i], train)
@@ -148,6 +178,7 @@ class HRNetBackbone(nn.Module):
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
     pallas_layer1: bool = False
+    pallas_branches: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
@@ -195,19 +226,22 @@ class HRNetBackbone(nn.Module):
         xs = transition([x], ch, self.stage2, "transition1")
         for m in range(self.stage2.num_modules):
             xs = mod_cls(self.stage2, self.stage2.out_channels, True,
-                         dtype=self.dtype, name=f"stage2_m{m}")(xs, train)
+                         dtype=self.dtype, pallas_branches=self.pallas_branches,
+                         name=f"stage2_m{m}")(xs, train)
         ch = self.stage2.out_channels
 
         xs = transition(xs, ch, self.stage3, "transition2")
         for m in range(self.stage3.num_modules):
             xs = mod_cls(self.stage3, self.stage3.out_channels, True,
-                         dtype=self.dtype, name=f"stage3_m{m}")(xs, train)
+                         dtype=self.dtype, pallas_branches=self.pallas_branches,
+                         name=f"stage3_m{m}")(xs, train)
         ch = self.stage3.out_channels
 
         xs = transition(xs, ch, self.stage4, "transition3")
         for m in range(self.stage4.num_modules):
             xs = mod_cls(self.stage4, self.stage4.out_channels, True,
-                         dtype=self.dtype, name=f"stage4_m{m}")(xs, train)
+                         dtype=self.dtype, pallas_branches=self.pallas_branches,
+                         name=f"stage4_m{m}")(xs, train)
         return xs
 
 
@@ -321,12 +355,14 @@ class PoseHRNet(nn.Module):
     remat: bool = False
     fused_head: bool = False
     pallas_layer1: bool = False
+    pallas_branches: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> HRNetOutput:
         xs = HRNetBackbone(self.stage2, self.stage3, self.stage4,
                            dtype=self.dtype, remat=self.remat,
                            pallas_layer1=self.pallas_layer1,
+                           pallas_branches=self.pallas_branches,
                            name="backbone")(x, train)
 
         h, w = xs[0].shape[1:3]

@@ -117,6 +117,81 @@ def fused_bottleneck_chain(x: jax.Array, params_flat: Tuple[jax.Array, ...],
     )(x, *params_flat)
 
 
+def _basic_block_body(x_hw_c, w1, b1, w2, b2):
+    """One folded BasicBlock: relu(conv3x3(relu(conv3x3(x))) + x)
+    (reference pose_hrnet.py:28-57, stride 1, matching channels)."""
+    h, w, c = x_hw_c.shape
+
+    def conv3(y, wk, bias):
+        ypad = jnp.pad(y, ((1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [ypad[di:di + h, dj:dj + w, :].reshape(h * w, c)
+             for di in range(3) for dj in range(3)], axis=1)
+        out = jnp.dot(cols, wk.reshape(9 * c, c),
+                      preferred_element_type=jnp.float32)
+        return out + bias
+
+    y = jnp.maximum(conv3(x_hw_c, w1, b1), 0.0).astype(jnp.bfloat16).reshape(h, w, c)
+    out = conv3(y, w2, b2) + x_hw_c.reshape(h * w, c).astype(jnp.float32)
+    return jnp.maximum(out, 0.0).astype(jnp.bfloat16).reshape(h, w, c)
+
+
+def _make_basic_kernel(n_blocks: int):
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        param_refs = refs[:-1]
+        x = x_ref[0]
+        for b in range(n_blocks):
+            w1, b1, w2, b2 = (param_refs[4 * b + i][...] for i in range(4))
+            x = _basic_block_body(x, w1, b1, w2, b2)
+        out_ref[0] = x
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+def fused_basic_chain(x: jax.Array, params_flat: Tuple[jax.Array, ...],
+                      n_blocks: int, interpret: bool = False) -> jax.Array:
+    """Chain of BasicBlocks (HRNet branch bodies) in one VMEM pass.
+
+    x: (B, H, W, C) bf16; params_flat: per-block (w1 (3,3,C,C), b1, w2, b2).
+    """
+    b, h, w, c = x.shape
+    kernel = _make_basic_kernel(n_blocks)
+    in_specs = [pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in params_flat]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, *params_flat)
+
+
+def basic_chain_reference(x: jax.Array, params_flat, n_blocks: int) -> jax.Array:
+    """XLA reference of the folded BasicBlock chain."""
+    y = x
+    for b in range(n_blocks):
+        w1, b1, w2, b2 = params_flat[4 * b: 4 * b + 4]
+        dn = jax.lax.conv_dimension_numbers(y.shape, w1.shape, ("NHWC", "HWIO", "NHWC"))
+        h1 = jax.lax.conv_general_dilated(y, w1, (1, 1), [(1, 1), (1, 1)],
+                                          dimension_numbers=dn,
+                                          preferred_element_type=jnp.float32)
+        h1 = jax.nn.relu(h1 + b1).astype(jnp.bfloat16)
+        h2 = jax.lax.conv_general_dilated(h1, w2, (1, 1), [(1, 1), (1, 1)],
+                                          dimension_numbers=dn,
+                                          preferred_element_type=jnp.float32)
+        y = jax.nn.relu(h2 + b2 + y.astype(jnp.float32)).astype(jnp.bfloat16)
+    return y
+
+
 def extract_layer1_params(folded_variables: Dict) -> Tuple[Tuple[jax.Array, ...],
                                                            Tuple[bool, ...]]:
     """Pull the folded layer1 weights out of a PoseHRNet variables tree

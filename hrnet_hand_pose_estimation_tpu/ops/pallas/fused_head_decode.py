@@ -5,22 +5,26 @@ conv -> BN/ReLU -> final conv -> spatial softmax -> soft-argmax) costs
 7.6 ms of the 35 ms step at B=128 — almost all HBM traffic through ~2-3 GB
 of full-resolution intermediates.
 
-This kernel runs the ENTIRE head per sample inside VMEM: align-corners
-bilinear upsampling becomes two small interpolation matmuls per branch
-(ops/upsample.py's einsum formulation), the 1x1 convs are (4096, C)
-matmuls, and the softmax expectations reduce in-register.  HBM sees only
-the four native-resolution branch tensors in (~0.5 MB/sample) and (K, 2)
-coordinates out.
+This kernel runs the ENTIRE head per sample inside VMEM in a channels-major
+(C, HW) layout chosen for Mosaic:
+- align-corners bilinear upsampling is ONE matmul per branch with a
+  precomputed Kronecker interpolation matrix  M = kron(Wh, Ww)^T
+  ((s*s, h0*w0)): up(x) = x @ M for x (C, s*s)
+- the 1x1 head convs are plain matmuls on the channel axis
+- softmax + expectation reduce over lanes (HW), the proven-safe layout
+  (sublane-axis reductions of unaligned shapes mis-reduce)
 
-Assumes folded BatchNorm (weights prepared by ``prepare_head_params`` from
-a fold_bn'd checkpoint — exact for eval).  Output parity vs the XLA head
-is bf16-rounding-level.
+HBM sees the four native-resolution branch tensors in (channels-major,
+pre-transposed by XLA — ~0.5 MB/sample) and (K, 2) coordinates out; no
+full-resolution intermediate ever leaves the core.
+
+Assumes folded BatchNorm (``prepare_head_params``); eval-exact.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Sequence, Tuple
+from functools import lru_cache, partial
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,90 +43,89 @@ class HeadParams(NamedTuple):
     temp: jax.Array      # () softmax temperature
 
 
+@lru_cache(maxsize=None)
+def _kron_interp(src: int, dst: int) -> np.ndarray:
+    """(src*src, dst*dst) matrix: x(C, src^2) @ M = align-corners bilinear
+    upsample flattened to (C, dst^2)."""
+    w = _align_corners_matrix(src, dst)          # (dst, src)
+    return np.kron(w, w).T.astype(np.float32)    # (src^2, dst^2)
+
+
 def _kernel(temp_ref, x0_ref, x1_ref, x2_ref, x3_ref,
-            wh1_ref, wh2_ref, wh3_ref,
+            m1_ref, m2_ref, m3_ref,
             whead_ref, bhead_ref, wfinal_ref, bfinal_ref,
-            u_ref, v_ref):
-    h0, w0, c0 = x0_ref.shape[1:]
+            u_ref, v_ref, w0_static):
     hp = jnp.float32
 
-    def upsample(x_ref, wh_ref):
-        """align-corners bilinear via two interp matmuls: (s,s,C) -> (h0,w0,C)."""
-        x = x_ref[0]
-        s, _, c = x.shape
-        wh = wh_ref[...]                                   # (h0, s)
-        t = jnp.dot(wh, x.reshape(s, s * c),
-                    preferred_element_type=hp)             # (h0, s*c)
-        t = t.reshape(h0, s, c).transpose(1, 0, 2).reshape(s, h0 * c)
-        t = jnp.dot(wh, t, preferred_element_type=hp)      # (w0, h0*c)
-        return t.reshape(w0, h0, c).transpose(1, 0, 2)     # (h0, w0, c)
+    def up(x_ref, m_ref):
+        return jnp.dot(x_ref[0], m_ref[...],
+                       preferred_element_type=hp).astype(jnp.bfloat16)
 
-    parts = [x0_ref[0].astype(hp),
-             upsample(x1_ref, wh1_ref),
-             upsample(x2_ref, wh2_ref),
-             upsample(x3_ref, wh3_ref)]
-    feat = jnp.concatenate(parts, axis=-1).reshape(h0 * w0, -1).astype(jnp.bfloat16)
+    feat = jnp.concatenate(
+        [x0_ref[0], up(x1_ref, m1_ref), up(x2_ref, m2_ref), up(x3_ref, m3_ref)],
+        axis=0)                                            # (480, HW) bf16
 
-    y = jnp.dot(feat, whead_ref[...], preferred_element_type=hp)
-    y = jnp.maximum(y + bhead_ref[...], 0.0).astype(jnp.bfloat16)
-    logits = jnp.dot(y, wfinal_ref[...], preferred_element_type=hp)
-    logits = (logits + bfinal_ref[...]) * temp_ref[0]      # (HW, K)
+    y = jnp.dot(whead_ref[...], feat, preferred_element_type=hp)
+    y = jnp.maximum(y + bhead_ref[...][:, None], 0.0).astype(jnp.bfloat16)
+    logits = jnp.dot(wfinal_ref[...], y, preferred_element_type=hp)
+    logits = (logits + bfinal_ref[...][:, None]) * temp_ref[0]   # (K, HW)
 
-    # reduce over lanes: (K, HW) layout — sublane-axis reductions of
-    # unaligned (HW, 21) shapes mis-reduce on TPU (see decode_kernel)
-    lt = logits.T                                          # (K, HW)
-    m = jnp.max(lt, axis=1, keepdims=True)
-    e = jnp.exp(lt - m)                                    # (K, HW)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=1)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, h0 * w0), 1)
-    us = (idx % w0).astype(hp)
-    vs = (idx // w0).astype(hp)
-    k = lt.shape[0]
+    hw = logits.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
+    us = (idx % w0_static).astype(hp)
+    vs = (idx // w0_static).astype(hp)
+    k = logits.shape[0]
     pad = 128 - k
-    u_ref[...] = jnp.pad((jnp.sum(e * us, axis=1) / s)[None], ((0, 0), (0, pad)))
-    v_ref[...] = jnp.pad((jnp.sum(e * vs, axis=1) / s)[None], ((0, 0), (0, pad)))
+    u_ref[0] = jnp.pad((jnp.sum(e * us, axis=1) / s)[None], ((0, 0), (0, pad)))
+    v_ref[0] = jnp.pad((jnp.sum(e * vs, axis=1) / s)[None], ((0, 0), (0, pad)))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def fused_head_decode(xs: Sequence[jax.Array], params: HeadParams,
                       interpret: bool = False) -> jax.Array:
-    """xs: 4 branch tensors (B, h0/2^i, w0/2^i, Ci) -> (B, K, 2) coords."""
+    """xs: 4 NHWC branch tensors (B, h0/2^i, w0/2^i, Ci) -> (B, K, 2)."""
     b, h0, w0, _ = xs[0].shape
     k = params.w_final.shape[1]
-    whs = [jnp.asarray(_align_corners_matrix(x.shape[1], h0)) for x in xs[1:]]
+    # channels-major, spatial flattened (cheap XLA transposes at native res)
+    xs_cm = [x.astype(jnp.bfloat16).transpose(0, 3, 1, 2)
+             .reshape(b, x.shape[3], x.shape[1] * x.shape[2]) for x in xs]
+    mats = [jnp.asarray(_kron_interp(x.shape[1], h0)).astype(jnp.bfloat16)
+            for x in xs[1:]]
     temp = jnp.asarray(params.temp, jnp.float32).reshape(1)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    for x in xs:
-        s = x.shape[1]
-        c = x.shape[3]
-        in_specs.append(pl.BlockSpec((1, s, s, c), lambda i: (i, 0, 0, 0),
+    for x in xs_cm:
+        c, n = x.shape[1:]
+        in_specs.append(pl.BlockSpec((1, c, n), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
-    for _ in whs:
+    for _ in mats:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     for _ in range(4):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     u, v = pl.pallas_call(
-        _kernel,
+        partial(_kernel, w0_static=w0),
         grid=(b,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(temp, *[x.astype(jnp.bfloat16) for x in xs], *whs,
-      params.w_head.astype(jnp.bfloat16), params.b_head.astype(jnp.float32),
-      params.w_final.astype(jnp.bfloat16), params.b_final.astype(jnp.float32))
-    return jnp.stack([u[:, :k], v[:, :k]], axis=-1)
+    )(temp, *xs_cm, *mats,
+      params.w_head.T.astype(jnp.bfloat16), params.b_head.astype(jnp.float32),
+      params.w_final.T.astype(jnp.bfloat16), params.b_final.astype(jnp.float32))
+    return jnp.stack([u[:, 0, :k], v[:, 0, :k]], axis=-1)
 
 
 def prepare_head_params(variables, eps: float = 1e-5,

@@ -37,3 +37,96 @@ def test_fused_targets_match_xla(rng):
         got = np.asarray(fused_gaussian_targets(joints, vis, 16, sigma,
                                                 interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fused_bottleneck_chain_parity(rng):
+    from hrnet_hand_pose_estimation_tpu.ops.pallas.fused_bottleneck import (
+        fused_bottleneck_chain,
+        layer1_reference,
+    )
+
+    def mk(shape, scale=0.05, dt=jnp.bfloat16):
+        return jnp.asarray((rng.normal(size=shape) * scale).astype(np.float32)).astype(dt)
+
+    flags = (True, False)
+    flat = []
+    cin = 16
+    for has_sc in flags:
+        cm, cout = 8, 32
+        flat += [mk((cin, cm)), mk((cm,), dt=jnp.float32),
+                 mk((3, 3, cm, cm)), mk((cm,), dt=jnp.float32),
+                 mk((cm, cout)), mk((cout,), dt=jnp.float32)]
+        if has_sc:
+            flat += [mk((cin, cout)), mk((cout,), dt=jnp.float32)]
+        cin = cout
+    x = mk((2, 16, 16, 16), scale=1.0)
+    want = np.asarray(layer1_reference(x, flat, flags), np.float32)
+    got = np.asarray(fused_bottleneck_chain(x, tuple(flat), flags, out_channels=32,
+                                            interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.02)  # bf16 rounding
+
+
+def test_fused_basic_chain_parity(rng):
+    from hrnet_hand_pose_estimation_tpu.ops.pallas.fused_bottleneck import (
+        basic_chain_reference,
+        fused_basic_chain,
+    )
+
+    def mk(shape, scale=0.05, dt=jnp.bfloat16):
+        return jnp.asarray((rng.normal(size=shape) * scale).astype(np.float32)).astype(dt)
+
+    c = 16
+    flat = []
+    for _ in range(3):
+        flat += [mk((3, 3, c, c)), mk((c,), dt=jnp.float32),
+                 mk((3, 3, c, c)), mk((c,), dt=jnp.float32)]
+    x = mk((2, 8, 8, c), scale=1.0)
+    want = np.asarray(basic_chain_reference(x, flat, 3), np.float32)
+    got = np.asarray(fused_basic_chain(x, tuple(flat), 3, interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def test_fused_head_decode_parity(rng):
+    from hrnet_hand_pose_estimation_tpu.ops.pallas.fused_head_decode import (
+        HeadParams,
+        fused_head_decode,
+    )
+    from hrnet_hand_pose_estimation_tpu.ops.upsample import (
+        upsample_bilinear_align_corners,
+    )
+
+    xs = [jnp.asarray(rng.normal(size=(2, s, s, c)).astype(np.float32))
+          for s, c in [(16, 8), (8, 16), (4, 32), (2, 64)]]
+    params = HeadParams(
+        w_head=jnp.asarray(rng.normal(size=(120, 120)).astype(np.float32)) * 0.1,
+        b_head=jnp.asarray(rng.normal(size=(120,)).astype(np.float32)) * 0.1,
+        w_final=jnp.asarray(rng.normal(size=(120, 21)).astype(np.float32)) * 0.1,
+        b_final=jnp.asarray(rng.normal(size=(21,)).astype(np.float32)) * 0.1,
+        temp=jnp.asarray(1.3))
+    feats = [xs[0]] + [upsample_bilinear_align_corners(t, (16, 16)) for t in xs[1:]]
+    feat = jnp.concatenate(feats, -1)
+    y = jax.nn.relu(jnp.einsum("bhwc,cd->bhwd", feat, params.w_head) + params.b_head)
+    logits = jnp.einsum("bhwd,dk->bhwk", y, params.w_final) + params.b_final
+    want = np.asarray(soft_argmax(spatial_softmax(logits, 1.3)))
+    got = np.asarray(fused_head_decode(xs, params, interpret=True))
+    np.testing.assert_allclose(got, want, atol=0.05)  # bf16 head matmuls
+
+
+def test_fast_infer_path_parity(tiny_cfg, monkeypatch, rng):
+    """End-to-end fast path (fused head decode) vs standard model coords."""
+    from hrnet_hand_pose_estimation_tpu.core.fast_infer import make_fast_infer
+    from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
+
+    std = hrnet_from_cfg(tiny_cfg, head="softmax", dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    v = std.init(jax.random.key(0), x, False)
+    v = jax.tree.map(
+        lambda a: jnp.asarray((rng.normal(size=a.shape) * 0.05).astype(np.float32))
+        if a.ndim > 1 else
+        jnp.asarray((np.abs(rng.normal(size=a.shape)) * 0.05 + 0.5).astype(np.float32)),
+        v)
+    out = std.apply(v, x, False)
+    want = np.asarray(soft_argmax(out.heatmaps))
+    fast = make_fast_infer(tiny_cfg, pallas_layer1=False, interpret=True)
+    got = np.asarray(fast(v, x))
+    np.testing.assert_allclose(got, want, atol=0.05)
