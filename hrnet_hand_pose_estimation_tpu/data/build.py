@@ -48,6 +48,7 @@ def register_dataset(name: str):
 def _lazy_registry() -> Dict[str, Callable]:
     if _DATASETS:
         return _DATASETS
+    from .coco_mpii import COCOKeypointsDataset, MPIIDataset
     from .fha import FHADatasetKeypoints
     from .freihand import FreiHandDataset, FreiHandDatasetKeypoints
     from .handgraph import HandGraphDatasetKeypoints
@@ -75,6 +76,13 @@ def _lazy_registry() -> Dict[str, Callable]:
         "MHP_mv": MHPMultiViewDataset,
         "MHP_seq": MHPSeqDataset,
         "Synthetic_mv": SyntheticMultiViewDataset,
+        # upstream human-pose datasets (VEST tier; reference coco.py/mpii.py)
+        "COCO": lambda cfg, subset, hm, tr: COCOKeypointsDataset(
+            cfg.DATA_DIR, subset, tr, int(cfg.MODEL.HEATMAP_SIZE[0]),
+            float(cfg.MODEL.SIGMA)),
+        "MPII": lambda cfg, subset, hm, tr: MPIIDataset(
+            cfg.DATA_DIR, subset, tr, int(cfg.MODEL.HEATMAP_SIZE[0]),
+            float(cfg.MODEL.SIGMA)),
         # raw eval datasets (reference evaluate_2D.py uses the non-kpt class)
         "RHD": raw(RHDDataset),
         "Frei": raw(FreiHandDataset),

@@ -62,6 +62,41 @@ class CPMRefine(nn.Module):
         return _conv(self.out_channels, 1, "mconv5", self.dtype)(x)
 
 
+class CPMVolumetric(nn.Module):
+    """CPM backbone for the volumetric triangulation net
+    (reference lib/models/CPM_volumetric.py:44-226): the final stage's
+    belief maps become softmax heatmaps and the refinement trunk features
+    feed the unprojection.  Emits the HRNetOutput interface so
+    VolumetricTriangulationNet is backbone-agnostic.
+
+    The centre map (an input in the reference's dataset pipeline) defaults
+    to a Gaussian at the image centre when not provided.
+    """
+
+    num_joints: int = 21
+    center_sigma: float = 21.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image: jax.Array, train: bool = False,
+                 centermap: jax.Array | None = None):
+        from ..ops.decode import spatial_softmax
+        from ..ops.targets import gaussian_centermap
+        from .hrnet import HRNetOutput
+
+        b, h = image.shape[0], image.shape[1]
+        if centermap is None:
+            center = jnp.full((b, 2), (h - 1) / 2.0, jnp.float32)
+            centermap = gaussian_centermap(center, h, self.center_sigma)
+        beliefs = CPM(self.num_joints, dtype=self.dtype, name="cpm")(
+            image, centermap, train)
+        logits = beliefs[-1][..., 1:]                   # drop background ch
+        probs = spatial_softmax(logits, 1.0)
+        # trunk features for unprojection: recompute the shared trunk
+        trunk = CPMTrunk(dtype=self.dtype, name="feat_trunk")(image.astype(self.dtype))
+        return HRNetOutput(probs, trunk.astype(jnp.float32), None, None)
+
+
 class CPM(nn.Module):
     """6-stage pose machine; forward(image, centermap) -> [stage maps]."""
 

@@ -224,7 +224,13 @@ def build_triangulation_net(cfg, kind: Optional[str] = None):
             use_confidences=bool(cfg.MODEL.ALG_CONFIDENCES))
     if kind == "ransac":
         return RANSACTriangulationNet(backbone=backbone, use_softmax=use_softmax)
-    if kind == "vol":
+    if kind in ("vol", "vol_CPM"):
+        if kind == "vol_CPM" or str(cfg.MODEL.BACKBONE_NAME) == "CPM_volumetric":
+            # CPM-backed volumetric variant (reference triangulation.py:472-654
+            # VolumetricTriangulationNet_CPM)
+            from .cpm import CPMVolumetric
+
+            backbone = CPMVolumetric(num_joints=int(cfg.MODEL.NUM_JOINTS))
         return VolumetricTriangulationNet(
             backbone=backbone,
             num_joints=int(cfg.MODEL.NUM_JOINTS),

@@ -206,3 +206,11 @@ def _vol(cfg):
     from .triangulation import build_triangulation_net
 
     return build_triangulation_net(cfg, "vol")
+
+
+@register("vol_CPM")
+def _vol_cpm(cfg):
+    """CPM-backed volumetric triangulation (reference triangulation.py:472)."""
+    from .triangulation import build_triangulation_net
+
+    return build_triangulation_net(cfg, "vol_CPM")

@@ -94,3 +94,36 @@ def test_freihand_evaluate_writes_json(tmp_path, monkeypatch, rng):
     data = json.load(open(out["res_file"]))
     assert len(data) == 2 and len(data[0]["keypoints"]) == 63
     assert out["EPE_px"] == pytest.approx((np.sqrt(2) + 2 * np.sqrt(2)) / 2, rel=1e-4)
+
+
+def test_lbs_hand_model():
+    """LBS layer (MANO-style): rest pose identity, pivot-correct root
+    rotation, joint-local isolation."""
+    from hrnet_hand_pose_estimation_tpu.models.mano import lbs, toy_hand_model
+
+    m = toy_hand_model()
+    b = 2
+    pose = jnp.zeros((b, 5, 3))
+    betas = jnp.zeros((b, 3))
+    verts, joints = lbs(m, pose, betas)
+    np.testing.assert_allclose(np.asarray(verts[0]), np.asarray(m.v_template),
+                               atol=1e-4)
+
+    # root rotated 90deg about z: verts rotate about the ROOT JOINT pivot
+    pose_rot = pose.at[:, 0, 2].set(jnp.pi / 2)
+    verts2, joints2 = lbs(m, pose_rot, betas)
+    j0 = np.asarray(joints)[0, 0]
+    v0 = np.asarray(m.v_template) - j0
+    expect = np.stack([-v0[:, 1], v0[:, 0], v0[:, 2]], -1) + j0
+    np.testing.assert_allclose(np.asarray(verts2)[0], expect, atol=1e-4)
+
+    # rotating a mid-chain joint leaves ancestor-owned vertices fixed
+    pose_mid = jnp.zeros((b, 5, 3)).at[:, 2, 2].set(0.7)
+    verts3, _ = lbs(m, pose_mid, betas)
+    moved = np.abs(np.asarray(verts3)[0] - np.asarray(m.v_template)).max(axis=1)
+    static = moved[np.asarray(m.weights)[:, :2].sum(1) > 0]
+    assert static.max() < 1e-5
+
+    # shape blendshapes move vertices
+    verts4, _ = lbs(m, pose, betas.at[:, 0].set(3.0))
+    assert np.abs(np.asarray(verts4) - np.asarray(verts)).max() > 1e-3
