@@ -136,36 +136,61 @@ def _basic_block_body(x_hw_c, w1, b1, w2, b2):
     return jnp.maximum(out, 0.0).astype(jnp.bfloat16).reshape(h, w, c)
 
 
+def _basic_block_body_tb(x_tb, w1, b1, w2, b2):
+    """BasicBlock on a (TB, H, W, C) tile: batch folds into the im2col rows
+    so the matmuls see TB*H*W rows (amortises tiny-spatial branches)."""
+    tb, h, w, c = x_tb.shape
+
+    def conv3(y, wk, bias):
+        ypad = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [ypad[:, di:di + h, dj:dj + w, :].reshape(tb * h * w, c)
+             for di in range(3) for dj in range(3)], axis=1)
+        out = jnp.dot(cols, wk.reshape(9 * c, c),
+                      preferred_element_type=jnp.float32)
+        return out + bias
+
+    y = jnp.maximum(conv3(x_tb, w1, b1), 0.0).astype(jnp.bfloat16)
+    y = y.reshape(tb, h, w, c)
+    out = conv3(y, w2, b2) + x_tb.reshape(tb * h * w, c).astype(jnp.float32)
+    return jnp.maximum(out, 0.0).astype(jnp.bfloat16).reshape(tb, h, w, c)
+
+
 def _make_basic_kernel(n_blocks: int):
     def kernel(x_ref, *refs):
         out_ref = refs[-1]
         param_refs = refs[:-1]
-        x = x_ref[0]
+        x = x_ref[...]
         for b in range(n_blocks):
             w1, b1, w2, b2 = (param_refs[4 * b + i][...] for i in range(4))
-            x = _basic_block_body(x, w1, b1, w2, b2)
-        out_ref[0] = x
+            x = _basic_block_body_tb(x, w1, b1, w2, b2)
+        out_ref[...] = x
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+@partial(jax.jit, static_argnames=("n_blocks", "samples_per_block", "interpret"))
 def fused_basic_chain(x: jax.Array, params_flat: Tuple[jax.Array, ...],
-                      n_blocks: int, interpret: bool = False) -> jax.Array:
+                      n_blocks: int, samples_per_block: int = 1,
+                      interpret: bool = False) -> jax.Array:
     """Chain of BasicBlocks (HRNet branch bodies) in one VMEM pass.
 
     x: (B, H, W, C) bf16; params_flat: per-block (w1 (3,3,C,C), b1, w2, b2).
+    ``samples_per_block`` folds several samples into one grid program —
+    essential for the small-spatial branches where per-sample programs
+    leave the MXU idle.
     """
     b, h, w, c = x.shape
+    tb = samples_per_block if b % samples_per_block == 0 else 1
     kernel = _make_basic_kernel(n_blocks)
-    in_specs = [pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+    in_specs = [pl.BlockSpec((tb, h, w, c), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in params_flat]
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // tb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((tb, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
         interpret=interpret,
