@@ -123,9 +123,15 @@ def _wrap(value: Any, new_allowed: bool = False) -> Any:
 
 
 def _parse_literal(value: Any) -> Any:
-    """Parse CLI string overrides into python literals when possible."""
+    """Parse CLI string overrides into python literals when possible.
+
+    Accepts YAML-style lowercase booleans (``true``/``false``) — users type
+    them from the experiment-file habit and yacs-era muscle memory.
+    """
     if not isinstance(value, str):
         return value
+    if value.lower() in ("true", "false"):
+        return value.lower() == "true"
     import ast
 
     try:

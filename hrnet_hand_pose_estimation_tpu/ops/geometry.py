@@ -93,9 +93,15 @@ def triangulate_eigh(points2d: jax.Array, projs: jax.Array,
         a = a * w
     ata = jnp.einsum("...ij,...ik->...jk", a, a,
                      precision=jax.lax.Precision.HIGHEST)
-    _, vecs = jnp.linalg.eigh(ata)          # ascending eigenvalues
-    x = vecs[..., :, 0]                     # smallest
-    return homogeneous_to_euclidean(x, eps=1e-12)
+    # unit-trace scaling: keeps f32 eigh well-conditioned at mm/px scales
+    # (preserves eigenvectors exactly)
+    tr = jnp.trace(ata, axis1=-2, axis2=-1)[..., None, None]
+    _, vecs = jnp.linalg.eigh(ata / jnp.maximum(tr, 1e-30))
+    x = vecs[..., :, 0]                     # smallest eigenvalue's vector
+    # bounded divide: degenerate systems (e.g. untrained models decoding all
+    # views to the principal point) otherwise emit coords ~1e11 whose
+    # downstream squares overflow f32 into NaN
+    return homogeneous_to_euclidean(x, eps=1e-6)
 
 
 def triangulate_sii(points2d: jax.Array, projs: jax.Array,

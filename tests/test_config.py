@@ -66,3 +66,10 @@ def test_freeze():
     cfg = load_config()
     with pytest.raises(AttributeError):
         cfg.TRAIN.LR = 1.0
+
+
+def test_dotlist_yaml_style_booleans():
+    cfg = load_config(opts=["LOSS.WITH_HEATMAP_LOSS", "false",
+                            "TEST.FLIP_TEST", "true"])
+    assert cfg.LOSS.WITH_HEATMAP_LOSS is False
+    assert cfg.TEST.FLIP_TEST is True
