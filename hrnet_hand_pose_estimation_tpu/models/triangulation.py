@@ -212,11 +212,15 @@ def build_triangulation_net(cfg, kind: Optional[str] = None):
     """Registry-style builder keyed like tools/train3D.py:152-158
     ({'ransac','alg','vol'} via MODEL.TRIANGULATION_MODEL_NAME)."""
     kind = kind or str(cfg.MODEL.TRIANGULATION_MODEL_NAME)
-    backbone = hrnet_from_cfg(
-        cfg, head="softmax",
-        vol_confidences=bool(cfg.MODEL.VOL_CONFIDENCES) and kind == "vol",
-        alg_confidences=bool(cfg.MODEL.ALG_CONFIDENCES) and kind == "alg",
-    )
+    uses_cpm = (kind == "vol_CPM"
+                or str(cfg.MODEL.BACKBONE_NAME) == "CPM_volumetric")
+    backbone = None
+    if not uses_cpm:  # CPM-backed configs carry no HRNet stage specs
+        backbone = hrnet_from_cfg(
+            cfg, head="softmax",
+            vol_confidences=bool(cfg.MODEL.VOL_CONFIDENCES) and kind == "vol",
+            alg_confidences=bool(cfg.MODEL.ALG_CONFIDENCES) and kind == "alg",
+        )
     use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
     if kind == "alg":
         return AlgebraicTriangulationNet(
@@ -225,7 +229,7 @@ def build_triangulation_net(cfg, kind: Optional[str] = None):
     if kind == "ransac":
         return RANSACTriangulationNet(backbone=backbone, use_softmax=use_softmax)
     if kind in ("vol", "vol_CPM"):
-        if kind == "vol_CPM" or str(cfg.MODEL.BACKBONE_NAME) == "CPM_volumetric":
+        if uses_cpm:
             # CPM-backed volumetric variant (reference triangulation.py:472-654
             # VolumetricTriangulationNet_CPM)
             from .cpm import CPMVolumetric

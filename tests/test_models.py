@@ -148,3 +148,25 @@ def test_fused_head_parity(tiny_cfg):
     o2 = fused.apply(v, x, False)
     np.testing.assert_allclose(np.asarray(o1.heatmaps), np.asarray(o2.heatmaps),
                                atol=1e-6)
+
+
+def test_all_reference_experiment_models_build():
+    """Every reference experiment YAML must resolve to a constructible model
+    (the reference's eval-registry contract, tools/train.py:152 +
+    train3D.py:152-158)."""
+    import glob
+
+    from hrnet_hand_pose_estimation_tpu.models import get_builder
+
+    yamls = sorted(glob.glob("/root/reference/experiments/**/*.yaml",
+                             recursive=True))
+    if not yamls:
+        pytest.skip("reference experiments not mounted")
+    failures = {}
+    for f in yamls:
+        try:
+            cfg = load_config(f)
+            get_builder(cfg.MODEL.NAME)(cfg)
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures[f.rsplit("/", 1)[-1]] = f"{type(e).__name__}: {e}"
+    assert not failures, failures
