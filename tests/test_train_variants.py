@@ -75,3 +75,44 @@ def test_pick_dispatch(tiny_cfg):
     tx = make_optimizer(cfg, 10)
     fn = pick_train_step(cfg, model, tx)
     assert fn is not None
+
+
+def test_eval_step_flip_tta(tiny_cfg, rng):
+    """Flip-test TTA (reference function.py:681-701): averaged flipped
+    forward changes predictions vs the plain path and stays in range."""
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+    from hrnet_hand_pose_estimation_tpu.parallel.train_step import make_eval_step
+
+    cfg_tta = tiny_cfg.clone().defrost()
+    cfg_tta.TEST.FLIP_TEST = True
+    cfg_tta.TEST.SHIFT_HEATMAP = True
+    cfg_tta.freeze()
+
+    model = build_model(tiny_cfg)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, False)
+    variables = jax.tree.map(
+        lambda a: jnp.asarray((rng.normal(size=a.shape) * 0.05).astype(np.float32))
+        if a.ndim > 1 else
+        jnp.asarray((np.abs(rng.normal(size=a.shape)) * 0.05 + 0.5).astype(np.float32)),
+        variables)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables["batch_stats"], opt_state=None)
+
+    plain = make_eval_step(tiny_cfg, model)(state, {"images": x})
+    tta = make_eval_step(cfg_tta, model)(state, {"images": x})
+    assert tta["heatmaps"].shape == plain["heatmaps"].shape
+    assert not np.allclose(np.asarray(tta["heatmaps"]),
+                           np.asarray(plain["heatmaps"]))
+
+    # TTA equals the manual composition 0.5*(f(x) + shift(flip_back(f(flip(x)))))
+    from hrnet_hand_pose_estimation_tpu.ops.flip import flip_back, shift_heatmap
+
+    def fwd(images):
+        return model.apply({"params": state.params,
+                            "batch_stats": state.batch_stats}, images, False).heatmaps
+
+    manual = 0.5 * (fwd(x) + shift_heatmap(flip_back(fwd(x[:, :, ::-1, :]))))
+    # jit vs eager f32 accumulation order differs slightly
+    np.testing.assert_allclose(np.asarray(tta["heatmaps"]), np.asarray(manual),
+                               atol=5e-5)
