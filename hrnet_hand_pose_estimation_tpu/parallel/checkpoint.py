@@ -33,13 +33,12 @@ class CheckpointManager:
         )
 
     def save(self, epoch: int, state: TrainState, extra: Optional[Dict[str, Any]] = None):
-        payload = {
-            "state": state,
-            "meta": {
-                "epoch": np.asarray(epoch),
-                **{k: np.asarray(v) for k, v in (extra or {}).items()},
-            },
-        }
+        # always write the full meta schema so restore templates line up
+        meta = {"epoch": np.asarray(epoch), "best_loss": np.asarray(np.inf),
+                "train_global_steps": np.asarray(0),
+                "valid_global_steps": np.asarray(0)}
+        meta.update({k: np.asarray(v) for k, v in (extra or {}).items()})
+        payload = {"state": state, "meta": meta}
         self.manager.save(epoch, args=ocp.args.StandardSave(payload))
         self.manager.wait_until_finished()
 

@@ -116,3 +116,35 @@ def test_eval_step_flip_tta(tiny_cfg, rng):
     # jit vs eager f32 accumulation order differs slightly
     np.testing.assert_allclose(np.asarray(tta["heatmaps"]), np.asarray(manual),
                                atol=5e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_cfg, rng):
+    """Orbax save/restore preserves the full TrainState bit-exactly
+    (reference AUTO_RESUME contract, tools/train.py:161-171)."""
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+    from hrnet_hand_pose_estimation_tpu.parallel.checkpoint import CheckpointManager
+
+    model = build_model(tiny_cfg)
+    tx = make_optimizer(tiny_cfg, 10)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    state = _state(model, tx, x, False)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpts"))
+    ckpt.save(3, state, extra={"best_loss": 1.25, "train_global_steps": 42})
+    assert ckpt.latest_epoch() == 3
+
+    restored = ckpt.restore(jax.tree.map(jnp.zeros_like, state))
+    assert int(restored["meta"]["epoch"]) == 3
+    assert float(restored["meta"]["best_loss"]) == 1.25
+    assert int(restored["meta"]["train_global_steps"]) == 42
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored["state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # best-model snapshot exists and loads
+    ckpt.save_best(state)
+    from hrnet_hand_pose_estimation_tpu.parallel.checkpoint import load_pretrained
+
+    best = load_pretrained(str(tmp_path / "ckpts" / "best"))
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(best["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
