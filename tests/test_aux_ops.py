@@ -152,3 +152,33 @@ def test_vis_dumps(tmp_path, rng, tiny_cfg):
     save_debug_images(cfg, imgs, joints, joints, hms, hms, str(tmp_path / "dbg"))
     assert (tmp_path / "dbg_gt.jpg").exists()
     assert (tmp_path / "dbg_hm_pred.jpg").exists()
+
+
+def test_image_util_helpers(rng):
+    from hrnet_hand_pose_estimation_tpu.utils.image_util import (
+        compute_uv_from_heatmaps,
+        crop_patch,
+        expand_bbox,
+        pad_to_square,
+        square_bbox,
+    )
+
+    x0, y0, w, h = expand_bbox((10, 10, 20, 10), 1.5, 100, 100)
+    assert w == 30 and h == 15 and x0 == 5
+
+    sx, sy, side = square_bbox((10, 10, 20, 10), 64, 64)
+    assert side == min(64, 40)
+    assert 0 <= sx <= 64 - side and 0 <= sy <= 64 - side
+
+    img = rng.uniform(size=(10, 20, 3)).astype(np.float32)
+    padded, (px, py) = pad_to_square(img)
+    assert padded.shape[:2] == (20, 20)
+    np.testing.assert_allclose(padded[py:py + 10, px:px + 20], img)
+
+    patch = crop_patch(img, 15, 5, 8)
+    assert patch.shape[:2] == (8, 8)
+
+    hms = np.zeros((1, 8, 8, 2), np.float32)
+    hms[0, 3, 5, 0] = 0.7
+    uvc = np.asarray(compute_uv_from_heatmaps(hms, (64, 64)))
+    np.testing.assert_allclose(uvc[0, 0], [5 * 8, 3 * 8, 0.7], atol=1e-5)
