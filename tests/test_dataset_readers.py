@@ -179,3 +179,84 @@ def test_mpii_reader_roundtrip(tmp_path, rng):
     assert s["imgs"].shape == (64, 64, 3)
     assert s["pose2d"].shape == (16, 2)
     assert s["heatmaps"].shape == (16, 16, 16)
+
+
+# ------------------------------------------------------------------- FHA
+def test_fha_reader_roundtrip(tmp_path, rng):
+    from hrnet_hand_pose_estimation_tpu.data.fha import (
+        CAM_EXTR, CAM_INTR, FHADataset, project_fha)
+
+    rel = os.path.join("Subject_5", "pour", "1")
+    color_dir = tmp_path / "FHA" / "Videos" / rel / "color"
+    skel_dir = tmp_path / "FHA" / "Hand_pose_annotation_v1" / rel
+    os.makedirs(skel_dir, exist_ok=True)
+    n = 2
+    skels = rng.uniform(-60, 60, size=(n, 21, 3)) + [0, 0, 500]
+    with open(skel_dir / "skeleton.txt", "w") as f:
+        for i in range(n):
+            f.write(" ".join([str(i)] + [f"{v}" for v in skels[i].reshape(-1)]) + "\n")
+    for i in range(n):
+        _img(str(color_dir / f"color_{i:04d}.jpeg"), size=64, seed=i)
+
+    ds = FHADataset(str(tmp_path), "evaluation")
+    assert len(ds) == n
+    s = ds[0]
+    np.testing.assert_allclose(s["pose3d"], skels[0], rtol=1e-5)
+    np.testing.assert_allclose(s["pose2d"], project_fha(skels[0]), atol=1e-3)
+
+
+# ------------------------------------------------------------------- STB
+def test_stb_reader_roundtrip(tmp_path, rng):
+    scipy_io = pytest.importorskip("scipy.io")
+    from hrnet_hand_pose_estimation_tpu.data.stb import (
+        STBDataset, depth_to_color, palm_to_wrist)
+
+    seq = "B1Counting"
+    img_dir = tmp_path / "STB" / "evaluation" / "images" / seq
+    lbl_dir = tmp_path / "STB" / "evaluation" / "labels"
+    os.makedirs(lbl_dir, exist_ok=True)
+    n = 2
+    # handPara stored (3, 21, N), depth frame, STB joint order
+    pose = rng.uniform(-50, 50, size=(3, 21, n)) + np.array([[0], [0], [400]])[:, None]
+    scipy_io.savemat(str(lbl_dir / f"{seq}_SK.mat"), {"handPara": pose})
+    for i in range(n):
+        _img(str(img_dir / f"SK_color_{i}.png"), size=64, seed=i)
+
+    ds = STBDataset(str(tmp_path), "evaluation")
+    assert len(ds) == n
+    s = ds[0]
+    assert s["pose3d"].shape == (21, 3)
+    # 2D is the pinhole projection of the stored 3D through the SK colour K
+    uvw = (ds.K @ s["pose3d"].T).T
+    np.testing.assert_allclose(s["pose2d"], uvw[:, :2] / uvw[:, 2:3], atol=1e-3)
+
+
+# -------------------------------------------------------------- HandGraph
+def test_handgraph_reader_roundtrip(tmp_path, rng):
+    from hrnet_hand_pose_estimation_tpu.data.handgraph import HandGraphDataset
+
+    root = tmp_path / "HandGraph"
+    labels = root / "3D_labels"
+    os.makedirs(labels, exist_ok=True)
+    n_poses, n_cams = 2, 2
+    # camPosition.txt: one row of 7 floats per (pose, cam): [f, tx, ty, tz, quat...]
+    cams = np.zeros((n_poses * n_cams, 7))
+    cams[:, 0] = 180.0                      # focal
+    cams[:, 4] = 1.0                        # identity quaternion (w=1)
+    np.savetxt(labels / "camPosition.txt", cams)
+    gestures = rng.uniform(-40, 40, size=(n_poses, 21, 3)) + [0, 0, 600]
+    np.savetxt(labels / "handGestures.txt", gestures.reshape(n_poses, -1))
+    with open(labels / "val-camera.txt", "w") as f:
+        f.write("cam1\n")
+    for p in range(n_poses):
+        for c in range(n_cams):
+            _img(str(root / "images" / f"pose{p}_cam{c}.png"), size=64, seed=p * 2 + c)
+
+    train = HandGraphDataset(str(tmp_path), "training")
+    val = HandGraphDataset(str(tmp_path), "evaluation")
+    assert len(train) + len(val) == n_poses * n_cams
+    assert len(val) == n_poses            # the cam1 images
+    s = train[0]
+    assert s["pose2d"].shape == (21, 2)
+    assert s["pose3d"].shape == (21, 3)
+    assert np.isfinite(s["pose2d"]).all()
