@@ -54,10 +54,10 @@ def test_3d_artifacts_reproduce_baseline():
     th, pck = np.loadtxt(os.path.join(d, pck3d[0]))
     # BASELINE.md: 11.353 mm EPE / 0.9578 AUC.  NOTE: this artifact's
     # thresholds run 20..50 mm (not 1..50); BASELINE's "PCK3D@20mm 0.9772"
-    # is the curve's *index* 20 (= 40 mm threshold), and the true
+    # corresponds to curve index 19 (= 39 mm threshold), and the true
     # PCK@20mm is the first entry, 0.8855.
     assert th[0] == 20.0 and th[-1] == 50.0
     assert per_joint.mean() == pytest.approx(11.353, abs=5e-3)
     assert pck_auc(pck, th, end=None) == pytest.approx(0.9578, abs=5e-4)
     assert pck_at(pck, th, 20.0) == pytest.approx(0.8855, abs=5e-4)
-    assert pck[20] == pytest.approx(0.9772, abs=5e-4)
+    assert pck[19] == pytest.approx(0.9772, abs=5e-4)
