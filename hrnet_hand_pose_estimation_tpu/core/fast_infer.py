@@ -15,11 +15,66 @@ import jax
 import jax.numpy as jnp
 
 from ..models.hrnet import HRNetBackbone, StageCfg
+from ..models.layers import BN_EPS
 from ..ops.pallas.fused_head_decode import fused_head_decode, prepare_head_params
 
 
+def _fold_cb(cb_params, cb_stats):
+    """Fold eval-mode BN into the conv: returns (kernel', bias')."""
+    inv = cb_params["bn"]["scale"] / jnp.sqrt(cb_stats["bn"]["var"] + BN_EPS)
+    return (cb_params["conv"]["kernel"] * inv,
+            cb_params["bn"]["bias"] - cb_stats["bn"]["mean"] * inv)
+
+
+def _space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel = (pr*2+pc)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _s2d_kernel(k):
+    """Rewrite a 3x3/stride-2/pad-1 conv kernel for the space-to-depth input.
+
+    A stride-2 3x3 conv output at (i, j) reads input rows 2i-1..2i+1: in
+    2x2-block coordinates that is blocks i-1..i with pixel parities
+    (kh=0 -> block i-1 parity 1; kh=1,2 -> block i parity kh-1).  So the op
+    is EXACTLY a 2x2 stride-1 conv over the (H/2, W/2, 4C) tensor with pad
+    ((1,0),(1,0)) — the same sums up to float summation order (the reordered
+    accumulation rounds bf16 ~1 ulp differently), with 4x the input channels
+    and no stride, which tiles far better onto the MXU when C_in is tiny
+    (the RGB stem's C_in=3 wastes 125/128 MXU lanes).
+    """
+    cin, cout = k.shape[2], k.shape[3]
+    k2 = jnp.zeros((2, 2, 4 * cin, cout), k.dtype)
+    for kh in range(3):
+        bi, pr = (0, 1) if kh == 0 else (1, kh - 1)
+        for kw in range(3):
+            bj, pc = (0, 1) if kw == 0 else (1, kw - 1)
+            off = (pr * 2 + pc) * cin
+            k2 = k2.at[bi, bj, off:off + cin].set(k[kh, kw])
+    return k2
+
+
+def _s2d_stem_apply(variables, images, dtype):
+    """Both stem convs as space-to-depth 2x2 dense convs, BN folded."""
+    p = variables["params"]["backbone"]
+    s = variables["batch_stats"]["backbone"]
+    x = _space_to_depth(images.astype(dtype))
+    for name in ("stem1", "stem2"):
+        k, b = _fold_cb(p[name], s[name])
+        x = jax.lax.conv_general_dilated(
+            x, _s2d_kernel(k).astype(dtype), (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(x + b.astype(dtype))
+        if name == "stem1":
+            x = _space_to_depth(x)
+    return x
+
+
 def make_fast_infer(cfg, pallas_layer1: bool = True,
-                    pallas_branches: bool = False, interpret: bool = False):
+                    pallas_branches: bool = False, interpret: bool = False,
+                    s2d_stem: bool = False):
     # pallas_branches defaults OFF: the per-branch BasicBlock kernels measured
     # 4x slower than XLA on TPU (tiny per-program work serialises branches XLA
     # runs concurrently; PERF.md) — kept for experimentation only.
@@ -31,6 +86,7 @@ def make_fast_infer(cfg, pallas_layer1: bool = True,
         dtype=jnp.bfloat16,
         pallas_layer1=pallas_layer1,
         pallas_branches=pallas_branches,
+        skip_stem=s2d_stem,
     )
 
     @jax.jit
@@ -39,6 +95,8 @@ def make_fast_infer(cfg, pallas_layer1: bool = True,
             "params": variables["params"]["backbone"],
             "batch_stats": variables["batch_stats"]["backbone"],
         }
+        if s2d_stem:
+            images = _s2d_stem_apply(variables, images, jnp.bfloat16)
         xs = backbone.apply(bb_vars, images, False)
         head = prepare_head_params(variables)
         return fused_head_decode(xs, head, interpret=interpret)

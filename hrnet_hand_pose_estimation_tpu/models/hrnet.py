@@ -179,13 +179,19 @@ class HRNetBackbone(nn.Module):
     remat: bool = False
     pallas_layer1: bool = False
     pallas_branches: bool = False
+    skip_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
         x = x.astype(self.dtype)
-        # stem: two stride-2 3x3 convs -> 1/4 resolution (reference :285-291)
-        x = ConvBN(64, 3, 2, relu=True, dtype=self.dtype, name="stem1")(x, train)
-        x = ConvBN(64, 3, 2, relu=True, dtype=self.dtype, name="stem2")(x, train)
+        # stem: two stride-2 3x3 convs -> 1/4 resolution (reference :285-291).
+        # skip_stem lets the serving fast path (core/fast_infer.py) replace the
+        # stem with an exact space-to-depth rewrite and feed the 1/4-res tensor
+        # directly; the stem params still exist in the tree (flax ignores
+        # unrequested subtrees at apply time).
+        if not self.skip_stem or self.is_initializing():
+            x = ConvBN(64, 3, 2, relu=True, dtype=self.dtype, name="stem1")(x, train)
+            x = ConvBN(64, 3, 2, relu=True, dtype=self.dtype, name="stem2")(x, train)
         # layer1: 4 bottlenecks -> 256ch (reference :292).  Inference can run
         # the whole chain as one Pallas kernel with VMEM-resident
         # intermediates (PERF.md: 4.2 vs 5.7 ms at B=128) — parameters stay

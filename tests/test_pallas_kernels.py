@@ -130,3 +130,56 @@ def test_fast_infer_path_parity(tiny_cfg, monkeypatch, rng):
     fast = make_fast_infer(tiny_cfg, pallas_layer1=False, interpret=True)
     got = np.asarray(fast(v, x))
     np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_s2d_stem_exact_rewrite(rng):
+    """Space-to-depth stem (2x2/s1 convs on block-rearranged input) computes
+    the same sums as the standard stride-2 stem up to float summation order
+    (core/fast_infer._s2d_kernel).  Checked directly on the stem output in
+    f32 with randomised weights — edges included, so a wrong padding side
+    would show O(1) errors, not 1e-5.  (An end-to-end coordinate comparison
+    in bf16 is NOT a valid check: the 1-ulp rounding difference from the
+    reordered accumulation amplifies chaotically through a random-weight
+    net and flips decode argmaxes.)"""
+    from flax import linen as nn
+
+    from hrnet_hand_pose_estimation_tpu.core.fast_infer import _s2d_stem_apply
+    from hrnet_hand_pose_estimation_tpu.models.layers import ConvBN
+
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = ConvBN(64, 3, 2, relu=True, dtype=jnp.float32, name="stem1")(x, train)
+            return ConvBN(64, 3, 2, relu=True, dtype=jnp.float32, name="stem2")(x, train)
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    stem = Stem()
+    v = stem.init(jax.random.key(0), x)
+    v = jax.tree.map(
+        lambda a: jnp.asarray((rng.normal(size=a.shape) * 0.5).astype(np.float32))
+        if a.ndim > 1 else
+        jnp.asarray((np.abs(rng.normal(size=a.shape)) * 0.5 + 0.5).astype(np.float32)),
+        v)
+    want = np.asarray(stem.apply(v, x))
+    wrapped = {"params": {"backbone": v["params"]},
+               "batch_stats": {"backbone": v["batch_stats"]}}
+    got = np.asarray(_s2d_stem_apply(wrapped, x, jnp.float32))
+    assert np.abs(want).max() > 1.0  # non-degenerate activations
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-5)
+
+
+def test_s2d_stem_end_to_end_pipeline(tiny_cfg, rng):
+    """The s2d fast path runs end to end and matches the standard fast path
+    on a freshly initialised net (plumbing/shape check; see the unit test
+    above for the arithmetic)."""
+    from hrnet_hand_pose_estimation_tpu.core.fast_infer import make_fast_infer
+    from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
+
+    std = hrnet_from_cfg(tiny_cfg, head="softmax", dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    v = std.init(jax.random.key(0), x, False)
+    a = np.asarray(make_fast_infer(tiny_cfg, pallas_layer1=False, interpret=True)(v, x))
+    b = np.asarray(make_fast_infer(tiny_cfg, pallas_layer1=False, interpret=True,
+                                   s2d_stem=True)(v, x))
+    assert a.shape == b.shape == (2, 21, 2)
+    np.testing.assert_allclose(a, b, atol=0.5)
