@@ -76,6 +76,26 @@ def coarsen_levels(adj: np.ndarray, levels: int
     return adjs, clusters
 
 
+def pool_matrix(cluster: np.ndarray) -> np.ndarray:
+    """(M, N) average-pooling matrix from a greedy_coarsen cluster assignment
+    (TPU-friendly dense replacement of the reference coarsening.py
+    perm+fake-node maxpool: pooling between graph levels is one matmul)."""
+    n = cluster.shape[0]
+    m = int(cluster.max()) + 1
+    p = np.zeros((m, n), np.float32)
+    p[cluster, np.arange(n)] = 1.0
+    return p / np.maximum(p.sum(1, keepdims=True), 1.0)
+
+
+def unpool_matrix(cluster: np.ndarray) -> np.ndarray:
+    """(N, M) unpooling matrix: copies each coarse vertex to its children."""
+    n = cluster.shape[0]
+    m = int(cluster.max()) + 1
+    u = np.zeros((n, m), np.float32)
+    u[np.arange(n), cluster] = 1.0
+    return u
+
+
 def chebyshev_basis(rescaled_lap: np.ndarray, k: int) -> np.ndarray:
     """Stacked Chebyshev polynomials T_0..T_{k-1} of the rescaled Laplacian,
     (K, N, N) — contract with features via einsum on TPU."""

@@ -50,6 +50,21 @@ def test_chebyshev_basis():
     np.testing.assert_allclose(basis[0], np.eye(4), atol=1e-6)
 
 
+def test_pool_unpool_matrices():
+    from hrnet_hand_pose_estimation_tpu.utils.graph import pool_matrix, unpool_matrix
+
+    adj = adjacency_from_edges(6, np.array([[i, i + 1] for i in range(5)]))
+    _, cl = greedy_coarsen(adj)
+    p = pool_matrix(cl)
+    u = unpool_matrix(cl)
+    assert p.shape == (cl.max() + 1, 6) and u.shape == (6, cl.max() + 1)
+    np.testing.assert_allclose(p.sum(1), 1.0)          # averaging rows
+    np.testing.assert_allclose(u.sum(1), 1.0)          # each child one parent
+    # unpool of a constant is constant; pool(unpool(x)) == x
+    x = np.arange(cl.max() + 1, dtype=np.float32)
+    np.testing.assert_allclose(p @ (u @ x), x, atol=1e-6)
+
+
 def test_mesh_net_shapes():
     from hrnet_hand_pose_estimation_tpu.models.mesh import build_hand_mesh_net
 
@@ -58,6 +73,23 @@ def test_mesh_net_shapes():
     v = net.init(jax.random.key(0), feats, False)
     mesh, pose = net.apply(v, feats, False)
     assert mesh.shape == (2, 21, 3)
+
+
+def test_mesh_net_multilevel_decoder():
+    """Coarse-to-fine decoder: the lift layer operates on the coarsest graph
+    and unpooling widens to the full vertex set."""
+    from hrnet_hand_pose_estimation_tpu.models.mesh import build_hand_mesh_net
+
+    net = build_hand_mesh_net(levels=2)
+    feats = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 32)),
+                        jnp.float32)
+    v = net.init(jax.random.key(0), feats, False)
+    n_coarse = net.bases[-1].shape[1]
+    assert n_coarse < 21
+    assert v["params"]["lift"]["kernel"].shape[1] == n_coarse * net.widths[0]
+    mesh, pose = net.apply(v, feats, False)
+    assert mesh.shape == (2, 21, 3) and pose.shape == (2, 21, 3)
+    assert np.asarray(mesh).std() > 0                  # non-degenerate output
     assert pose.shape == (2, 21, 3)
 
 
