@@ -126,6 +126,73 @@ def test_preprocess_for_inference():
                                np.array([0.229, 0.224, 0.225]), atol=1e-5)
 
 
+# -------------------------------------------------------------- cameras
+def test_project_point_radial_matches_cv2(rng):
+    """Radial distortion golden test vs cv2.projectPoints (the tangential
+    term follows the reference's h36m-style approximation, cameras_cuda.py,
+    which differs from OpenCV's full model — so p=0 here)."""
+    import cv2
+
+    from hrnet_hand_pose_estimation_tpu.ops.cameras import project_point_radial
+
+    pts = rng.normal(size=(10, 3)).astype(np.float64) * 0.2 + [0, 0, 3.0]
+    rvec = np.array([0.1, -0.2, 0.05])
+    R = cv2.Rodrigues(rvec)[0]
+    T_cam = np.array([0.1, -0.05, 0.2])        # x_cam = R x + T_cam
+    f, c = (400.0, 420.0), (320.0, 240.0)
+    k = np.array([0.1, -0.05, 0.01])
+    dist = np.array([k[0], k[1], 0.0, 0.0, k[2]])
+    K = np.array([[f[0], 0, c[0]], [0, f[1], c[1]], [0, 0, 1.0]])
+    want, _ = cv2.projectPoints(pts, rvec, T_cam, K, dist)
+    # ours parameterises x_cam = R (x - T)  =>  T = -R^T T_cam
+    T_ours = -R.T @ T_cam
+    uv, z = project_point_radial(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(R, jnp.float32),
+        jnp.asarray(T_ours, jnp.float32), jnp.asarray(f, jnp.float32),
+        jnp.asarray(c, jnp.float32), jnp.asarray(k, jnp.float32),
+        jnp.zeros(2, jnp.float32))
+    np.testing.assert_allclose(np.asarray(uv), want[:, 0], atol=0.05)
+    assert (np.asarray(z) > 0).all()
+
+
+def test_project_tangential_term_reference_formula():
+    from hrnet_hand_pose_estimation_tpu.ops.cameras import project_point_radial
+
+    pts = np.array([[0.2, -0.1, 2.0]], np.float32)
+    p = np.array([0.03, -0.02], np.float32)
+    uv, _ = project_point_radial(
+        jnp.asarray(pts), jnp.eye(3, dtype=jnp.float32), jnp.zeros(3),
+        jnp.ones(2), jnp.zeros(2), jnp.zeros(3), jnp.asarray(p))
+    x, y = 0.1, -0.05
+    r2 = x * x + y * y
+    tan = p[0] * y + p[1] * x
+    want = np.array([x * (1 + tan) + p[1] * r2, y * (1 + tan) + p[0] * r2])
+    np.testing.assert_allclose(np.asarray(uv)[0], want, atol=1e-6)
+
+
+# ------------------------------------------------------------ zipreader
+def test_zipreader_roundtrip(tmp_path):
+    import zipfile
+
+    import cv2
+
+    from hrnet_hand_pose_estimation_tpu.utils.zipreader import imread, xmlread
+
+    img = (np.arange(48).reshape(4, 4, 3) * 5).astype(np.uint8)
+    png = cv2.imencode(".png", img)[1].tobytes()
+    zpath = str(tmp_path / "data.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("imgs/a.png", png)
+        z.writestr("meta/cam.xml", b"<cam f='500'/>")
+    got = imread(zpath + "@imgs/a.png")
+    np.testing.assert_array_equal(got, img)
+    assert xmlread(zpath + "@meta/cam.xml") == b"<cam f='500'/>"
+    # plain paths still go through cv2.imread / open
+    plain = str(tmp_path / "b.png")
+    cv2.imwrite(plain, img)
+    np.testing.assert_array_equal(imread(plain), img)
+
+
 # ------------------------------------------------------------------ vis
 def test_vis_dumps(tmp_path, rng, tiny_cfg):
     from hrnet_hand_pose_estimation_tpu.utils.vis import (
