@@ -22,9 +22,10 @@ from . import losses as L
 
 
 def make_train_step_cpm(cfg, model, tx) -> Callable:
-    """CPM: image + centermap in, per-stage heatmap losses summed
-    (reference function.py:29-34; stage maps include a background channel)."""
-    use_target_bg = False
+    """CPM: image + centermap in; the LAST stage's 22-channel belief map is
+    supervised against the 22-channel target, background channel included
+    (reference function.py:29-34: heatmaps_pred = heatmap_lst[-1] vs the
+    dataset's (K+1)-channel heatmaps with bg = 1 - max at channel 0)."""
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
@@ -34,9 +35,11 @@ def make_train_step_cpm(cfg, model, tx) -> Callable:
                 mutable=["batch_stats"])
             beliefs, mutated = beliefs
             gt = batch["target_heatmaps"]
-            total = jnp.zeros((), jnp.float32)
-            for b in beliefs:
-                total = total + L.heatmap_loss(b[..., 1:], gt)
+            pred = beliefs[-1]
+            if gt.shape[-1] == pred.shape[-1] - 1:   # add bg channel on the fly
+                gt = jnp.concatenate(
+                    [1.0 - jnp.max(gt, axis=-1, keepdims=True), gt], axis=-1)
+            total = L.heatmap_loss(pred, gt)
             return total, (mutated["batch_stats"], {"total_loss": total})
 
         grads, (stats, loss_dict) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -52,7 +52,14 @@ def _lazy_registry() -> Dict[str, Callable]:
     from .fha import FHADatasetKeypoints
     from .freihand import FreiHandDataset, FreiHandDatasetKeypoints
     from .handgraph import HandGraphDatasetKeypoints
-    from .mhp import MHPDataset, MHPDatasetKeypoints, MHPMultiViewDataset, MHPSeqDataset
+    from .mhp import (
+        MHPCPMDataset,
+        MHPCPMMultiViewDataset,
+        MHPDataset,
+        MHPDatasetKeypoints,
+        MHPMultiViewDataset,
+        MHPSeqDataset,
+    )
     from .rhd import RHDDataset, RHDDatasetKeypoints
     from .stb import STBDataset
     from .synthetic import SyntheticDataset, SyntheticMultiViewDataset
@@ -72,6 +79,10 @@ def _lazy_registry() -> Dict[str, Callable]:
         "HandGraph_kpt": HandGraphDatasetKeypoints,
         "FHA_kpt": FHADatasetKeypoints,
         "Synthetic_kpt": SyntheticDataset,
+        # CPM variants: (K+1)-channel bg targets + centre maps
+        # (reference dataset/__init__.py:29-30)
+        "MHP_CPM_kpt": MHPCPMDataset,
+        "MHP_CPM_mv": MHPCPMMultiViewDataset,
         # multi-view / sequence (cfg, subset, heatmap_generator, transform)
         "MHP_mv": MHPMultiViewDataset,
         "MHP_seq": MHPSeqDataset,

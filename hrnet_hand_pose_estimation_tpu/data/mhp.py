@@ -279,3 +279,114 @@ class MHPSeqDataset(_MHPBase):
             "visibility": np.stack(viss),
             "pose3d": self.pose3d[(sub, fidx)],
         }
+
+
+# ----------------------------------------------------------------- CPM path
+def _cpm_center(pose2d: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Hand centre as the midpoint of the in-frame coordinate extents
+    (reference MHP_CPMDataset.py:171-184; falls back to the image centre)."""
+
+    def mid(vals, lim):
+        hi = vals[vals < lim]
+        lo = vals[vals > 0]
+        if hi.size == 0 or lo.size == 0:
+            return lim / 2.0
+        return float(hi.max() + lo.min()) / 2.0
+
+    return np.array([mid(pose2d[:, 0], w), mid(pose2d[:, 1], h)], np.float32)
+
+
+def _cpm_centermap_np(center: np.ndarray, res: int) -> np.ndarray:
+    """(res, res, 1) sigma-3 centre map, clipped like the reference
+    (MHP_CPMDataset.py:220-224: <=1, zeroed below 0.0099)."""
+    g = np.arange(res, dtype=np.float32)
+    d2 = (g[None, :] - center[0]) ** 2 + (g[:, None] - center[1]) ** 2
+    m = np.exp(-d2 / (2.0 * 3.0 * 3.0))
+    m[m > 1] = 1
+    m[m < 0.0099] = 0
+    return m[..., None].astype(np.float32)
+
+
+def cpm_normalize(img: np.ndarray) -> np.ndarray:
+    """CPM image normalisation: (x - 128)/256 on the raw 0-255 image
+    (Mytransforms.normalize with mean 128 / std 256 on an UNscaled
+    to_tensor — MHP_CPMDataset.py:226-227)."""
+    return (np.asarray(img, np.float32) - 128.0) / 256.0
+
+
+class MHPCPMDataset(MHPDataset):
+    """CPM single-view variant (reference MHP_CPMDataset.py:100-240):
+    image resized to the model input, (K+1)-channel stride-divided targets
+    with a background channel at index 0, sigma-3 centre map at input
+    resolution, CPM (x-128)/256 normalisation, pose2d emitted in heatmap
+    pixels.  The reference's random Mytransforms augmentation chain is not
+    replicated (documented divergence): this path matches its eval-time
+    geometry."""
+
+    def __init__(self, cfg, subset: str, heatmap_generator=None, transforms=None):
+        MHPDataset.__init__(self, cfg.DATA_DIR, subset, cfg.DATASET.DATA_FORMAT, None)
+        self.input_size = int(cfg.MODEL.IMAGE_SIZE[0])
+        self.hm_size = int(cfg.MODEL.HEATMAP_SIZE[0])
+        self.sigma = float(cfg.DATASET.SIGMA)
+        self.stride = self.input_size / self.hm_size
+        self.exception = False
+
+    def __getitem__(self, idx: int):
+        from ..ops.targets import cpm_heatmaps_np
+
+        sub, fidx = self.frames[idx // 4]
+        cam = idx % 4 + 1
+        img, pose2d, vis, extrinsic, pose3d = self._view(sub, fidx, cam,
+                                                         occlude=False)
+        h0, w0 = img.shape[:2]
+        img = cv2.resize(img, (self.input_size, self.input_size))
+        pose2d = pose2d * np.array([self.input_size / w0, self.input_size / h0],
+                                   np.float32)
+        center = _cpm_center(pose2d, self.input_size, self.input_size)
+        heatmaps = cpm_heatmaps_np(pose2d, self.hm_size, self.sigma, self.stride)
+        return {
+            "imgs": cpm_normalize(img),
+            "pose2d": (pose2d / self.stride).astype(np.float32),
+            "heatmaps": heatmaps,
+            "visibility": vis,
+            "centermaps": _cpm_centermap_np(center, self.input_size),
+            "extrinsic_matrices": extrinsic,
+            "intrinsic_matrix": INTRINSICS,
+            "pose3d": pose3d,
+        }
+
+
+class MHPCPMMultiViewDataset(MHPMultiViewDataset):
+    """CPM multi-view variant (reference MHP_CPMMultiViewDataset.py:36-270):
+    per-view CPM targets + centre maps alongside the calibrated projections."""
+
+    def __getitem__(self, idx: int):
+        from ..ops.targets import cpm_heatmaps_np
+
+        sub, fidx = self.frames[idx]
+        imgs, poses2d, viss, exts, hms, cms = [], [], [], [], [], []
+        input_size = self.hm_size * 8  # CPM stride is 8 (reference :213)
+        for cam in range(1, self.n_views + 1):
+            img, pose2d, vis, extrinsic, _ = self._view(sub, fidx, cam,
+                                                        occlude=True)
+            h0, w0 = img.shape[:2]
+            img = cv2.resize(img, (input_size, input_size))
+            pose2d = pose2d * np.array([input_size / w0, input_size / h0],
+                                       np.float32)
+            center = _cpm_center(pose2d, input_size, input_size)
+            hms.append(cpm_heatmaps_np(pose2d, self.hm_size, self.sigma, 8.0))
+            cms.append(_cpm_centermap_np(center, input_size))
+            imgs.append(cpm_normalize(img))
+            poses2d.append((pose2d / 8.0).astype(np.float32))
+            viss.append(vis)
+            exts.append(extrinsic)
+        return {
+            "imgs": np.stack(imgs),
+            "pose2d": np.stack(poses2d),
+            "heatmaps": np.stack(hms),
+            "visibility": np.stack(viss),
+            "centermaps": np.stack(cms),
+            "extrinsic_matrices": np.stack(exts),
+            "intrinsic_matrix": INTRINSICS,
+            "pose3d": self.pose3d[(sub, fidx)],
+        }

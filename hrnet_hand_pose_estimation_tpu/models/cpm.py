@@ -74,7 +74,7 @@ class CPMVolumetric(nn.Module):
     """
 
     num_joints: int = 21
-    center_sigma: float = 21.0
+    center_sigma: float = 3.0   # reference MHP_CPMDataset.py:221
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact

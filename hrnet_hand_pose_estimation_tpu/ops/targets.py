@@ -104,8 +104,9 @@ def scale_aware_gaussian_targets(
     return hm * valid[:, None, None, :].astype(jnp.float32)
 
 
-def gaussian_centermap(center: jax.Array, res: int, sigma: float = 21.0) -> jax.Array:
-    """CPM-style single-channel centre map (reference MHP_CPMDataset.py:220-236).
+def gaussian_centermap(center: jax.Array, res: int, sigma: float = 3.0) -> jax.Array:
+    """CPM-style single-channel centre map (reference MHP_CPMDataset.py:220-224:
+    unwindowed Gaussian with sigma 3, clipped to <=1 and zeroed below 0.0099).
 
     center: (B, 2) [u, v] in input pixels; returns (B, res, res, 1).
     """
@@ -114,4 +115,26 @@ def gaussian_centermap(center: jax.Array, res: int, sigma: float = 21.0) -> jax.
     dv = px[None, :] - center[:, 1:2]
     sig2 = 2.0 * float(sigma) ** 2
     g = jnp.exp(-(dv[:, :, None] ** 2 + du[:, None, :] ** 2) / sig2)
+    g = jnp.minimum(g, 1.0) * (g >= 0.0099)
     return g[..., None]
+
+
+def cpm_heatmaps_np(pose2d: np.ndarray, hm_size: int, sigma: float,
+                    stride: float) -> np.ndarray:
+    """22-channel CPM target (reference MHP_CPMDataset.py:193-204): channel 0
+    is the background ``1 - max(joints)``; joint channels are unwindowed
+    Gaussians at int-truncated, stride-divided coordinates, clipped to <=1
+    and zeroed below 0.0099.  Returns (hm_size, hm_size, K+1) HWC."""
+    k = pose2d.shape[0]
+    grid = np.arange(hm_size, dtype=np.float32)
+    joints = np.zeros((hm_size, hm_size, k), np.float32)
+    for i in range(k):
+        x = int(pose2d[i, 0]) * 1.0 / stride
+        y = int(pose2d[i, 1]) * 1.0 / stride
+        g = np.exp(-((grid[None, :] - x) ** 2 + (grid[:, None] - y) ** 2)
+                   / 2.0 / sigma / sigma)
+        g[g > 1] = 1
+        g[g < 0.0099] = 0
+        joints[:, :, i] = g
+    bg = 1.0 - joints.max(axis=2, keepdims=True)
+    return np.concatenate([bg, joints], axis=2)

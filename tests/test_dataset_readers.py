@@ -109,13 +109,9 @@ def test_freihand_reader_roundtrip(tmp_path, rng):
 
 
 # ------------------------------------------------------------------- MHP
-def test_mhp_multiview_reader_roundtrip(tmp_path, rng):
-    from hrnet_hand_pose_estimation_tpu.data.mhp import (
-        INTRINSICS, MHPMultiViewDataset)
-
+def _mhp_fixture(tmp_path, rng, n_frames=2):
     root = tmp_path / "MHP"
     sub = "data_17"  # eval split
-    n_frames = 2
     for f in range(n_frames):
         for cam in range(1, 5):
             _img(str(root / "annotated_frames" / sub / f"{f}_webcam_{cam}.jpg"),
@@ -136,6 +132,13 @@ def test_mhp_multiview_reader_roundtrip(tmp_path, rng):
             for j, p in enumerate(pts):
                 fh.write(f"{j} {p[0]} {p[1]} {p[2]}\n")
 
+
+def test_mhp_multiview_reader_roundtrip(tmp_path, rng):
+    from hrnet_hand_pose_estimation_tpu.data.mhp import (
+        INTRINSICS, MHPMultiViewDataset)
+
+    n_frames = 2
+    _mhp_fixture(tmp_path, rng, n_frames)
     cfg = _cfg(tmp_path)
     ds = MHPMultiViewDataset(cfg, "evaluation",
                              transform=HandTransforms(64, [16]))
@@ -155,6 +158,44 @@ def test_mhp_multiview_reader_roundtrip(tmp_path, rng):
     # deterministic occlusion: same index -> identical sample
     s2 = ds[0]
     np.testing.assert_allclose(s["imgs"], s2["imgs"])
+
+
+def test_mhp_cpm_reader(tmp_path, rng):
+    """CPM variant: 22-channel background targets, centre map, (x-128)/256
+    normalisation (reference MHP_CPMDataset.py:100-240)."""
+    from hrnet_hand_pose_estimation_tpu.data.mhp import MHPCPMDataset
+
+    _mhp_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path)
+    ds = MHPCPMDataset(cfg, "evaluation")
+    s = ds[0]
+    assert s["imgs"].shape == (64, 64, 3)
+    assert s["heatmaps"].shape == (16, 16, 22)
+    assert s["centermaps"].shape == (64, 64, 1)
+    # background channel complements the joint max
+    np.testing.assert_allclose(
+        s["heatmaps"][..., 0], 1.0 - s["heatmaps"][..., 1:].max(-1), atol=1e-6)
+    # CPM normalisation: a 0..255 image lands in [-0.5, 0.5]
+    assert -0.51 <= s["imgs"].min() and s["imgs"].max() <= 0.5
+    # centre map: clipped unwindowed Gaussian (zeros far away, peak ~1)
+    cm = s["centermaps"][..., 0]
+    assert cm.max() <= 1.0 and (cm < 0.0099).sum() > cm.size // 2
+    # pose2d is in heatmap pixels
+    assert s["pose2d"].shape == (21, 2)
+
+
+def test_mhp_cpm_multiview_reader(tmp_path, rng):
+    from hrnet_hand_pose_estimation_tpu.data.mhp import MHPCPMMultiViewDataset
+
+    _mhp_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path)
+    ds = MHPCPMMultiViewDataset(cfg, "evaluation")
+    s = ds[0]
+    v = cfg.DATASET.NUM_VIEWS
+    assert s["imgs"].shape == (v, 128, 128, 3)      # hm 16 * stride 8
+    assert s["heatmaps"].shape == (v, 16, 16, 22)
+    assert s["centermaps"].shape == (v, 128, 128, 1)
+    assert s["extrinsic_matrices"].shape == (v, 3, 4)
 
 
 # ------------------------------------------------------------------ MPII
