@@ -140,9 +140,13 @@ class Trainer:
             for batch in it:
                 step_batch = _batch_for_step(batch)
                 out = self.eval_step(self.state, step_batch)
+                hm_gt = step_batch.get("target_heatmaps")
+                if (hm_gt is not None
+                        and hm_gt.shape[-1] == out["heatmaps"].shape[-1] + 1):
+                    hm_gt = hm_gt[..., 1:]   # drop the CPM background channel
                 _, loss_dict = loss_computer(
                     heatmaps_pred=out["heatmaps"],
-                    heatmaps_gt=step_batch.get("target_heatmaps"),
+                    heatmaps_gt=hm_gt,
                     pose2d_pred=out["pose2d_pred"],
                     pose2d_gt=step_batch.get("pose2d"),
                     visibility=step_batch.get("visibility"),

@@ -358,14 +358,20 @@ class MHPCPMDataset(MHPDataset):
 
 class MHPCPMMultiViewDataset(MHPMultiViewDataset):
     """CPM multi-view variant (reference MHP_CPMMultiViewDataset.py:36-270):
-    per-view CPM targets + centre maps alongside the calibrated projections."""
+    per-view CPM targets + centre maps alongside the calibrated projections;
+    ``factor = input_size / hm_size`` as in reference :212-214."""
+
+    def __init__(self, cfg, subset: str, heatmap_generator=None, transform=None):
+        super().__init__(cfg, subset, heatmap_generator, transform)
+        self.input_size = int(cfg.MODEL.IMAGE_SIZE[0])
 
     def __getitem__(self, idx: int):
         from ..ops.targets import cpm_heatmaps_np
 
         sub, fidx = self.frames[idx]
         imgs, poses2d, viss, exts, hms, cms = [], [], [], [], [], []
-        input_size = self.hm_size * 8  # CPM stride is 8 (reference :213)
+        input_size = self.input_size
+        factor = input_size / self.hm_size
         for cam in range(1, self.n_views + 1):
             img, pose2d, vis, extrinsic, _ = self._view(sub, fidx, cam,
                                                         occlude=True)
@@ -374,10 +380,10 @@ class MHPCPMMultiViewDataset(MHPMultiViewDataset):
             pose2d = pose2d * np.array([input_size / w0, input_size / h0],
                                        np.float32)
             center = _cpm_center(pose2d, input_size, input_size)
-            hms.append(cpm_heatmaps_np(pose2d, self.hm_size, self.sigma, 8.0))
+            hms.append(cpm_heatmaps_np(pose2d, self.hm_size, self.sigma, factor))
             cms.append(_cpm_centermap_np(center, input_size))
             imgs.append(cpm_normalize(img))
-            poses2d.append((pose2d / 8.0).astype(np.float32))
+            poses2d.append((pose2d / factor).astype(np.float32))
             viss.append(vis)
             exts.append(extrinsic)
         return {

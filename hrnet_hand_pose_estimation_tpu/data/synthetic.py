@@ -70,6 +70,9 @@ class SyntheticDataset:
         self.transforms = transforms
         self.heatmap_generator = heatmap_generator
         self.exception = False
+        # CPM models consume centre maps + (K+1)-channel bg targets
+        # (data/mhp.py MHPCPMDataset schema)
+        self.cpm = cfg is not None and str(cfg.MODEL.NAME) == "CPM"
 
     def __len__(self) -> int:
         return self.length
@@ -89,7 +92,7 @@ class SyntheticDataset:
         vis = np.ones((21, 1), np.float32)
         hms = (self.heatmap_generator(pose2d, vis[:, 0]) if self.heatmap_generator
                else gaussian_targets_np(pose2d, vis[:, 0], self.hm_size, self.sigma))
-        return {
+        out = {
             "imgs": np.asarray(img, np.float32),
             "pose2d": pose2d.astype(np.float32),
             "heatmaps": hms.astype(np.float32),
@@ -97,6 +100,16 @@ class SyntheticDataset:
             "corner": np.zeros(2, np.float32),
             "crop_size": np.float32(self.img_size),
         }
+        if self.cpm:
+            from ..ops.targets import cpm_heatmaps_np
+            from .mhp import _cpm_centermap_np
+
+            stride = self.img_size / self.hm_size
+            out["heatmaps"] = cpm_heatmaps_np(
+                pose2d * stride, self.hm_size, self.sigma, stride)
+            out["centermaps"] = _cpm_centermap_np(
+                center.astype(np.float32), self.img_size)
+        return out
 
 
 class SyntheticMultiViewDataset:

@@ -74,7 +74,11 @@ def create_train_state(cfg, model, rng, sample_batch, mesh=None,
                        steps_per_epoch: int = 1000) -> Tuple[TrainState, optax.GradientTransformation]:
     """Initialise parameters/optimizer, placing them on the mesh if given."""
     images = sample_batch["images"]
-    variables = jax.jit(model.init, static_argnums=(2,))(rng, images[:1], False)
+    if "centermaps" in sample_batch:   # CPM signature: (image, centermap, train)
+        variables = jax.jit(model.init, static_argnums=(3,))(
+            rng, images[:1], sample_batch["centermaps"][:1], False)
+    else:
+        variables = jax.jit(model.init, static_argnums=(2,))(rng, images[:1], False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg, steps_per_epoch)
@@ -184,6 +188,20 @@ def make_eval_step(cfg, model, mesh=None) -> Callable:
     use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
     flip_test = bool(cfg.TEST.FLIP_TEST)
     shift = bool(cfg.TEST.SHIFT_HEATMAP)
+    is_cpm = str(cfg.MODEL.NAME) == "CPM"
+
+    def cpm_step_fn(state: TrainState, batch):
+        # CPM validate: last stage's belief map, no flip TTA; decode the
+        # joint channels, bg channel 0 excluded (reference function.py:639-644)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        beliefs = model.apply(variables, batch["images"], batch["centermaps"],
+                              False)
+        heatmaps = beliefs[-1][..., 1:]
+        return {"heatmaps": heatmaps,
+                "pose2d_pred": decode_heatmaps(heatmaps, use_softmax)}
+
+    if is_cpm:
+        return jax.jit(cpm_step_fn)
 
     def step_fn(state: TrainState, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -192,9 +192,9 @@ def test_mhp_cpm_multiview_reader(tmp_path, rng):
     ds = MHPCPMMultiViewDataset(cfg, "evaluation")
     s = ds[0]
     v = cfg.DATASET.NUM_VIEWS
-    assert s["imgs"].shape == (v, 128, 128, 3)      # hm 16 * stride 8
+    assert s["imgs"].shape == (v, 64, 64, 3)        # cfg IMAGE_SIZE
     assert s["heatmaps"].shape == (v, 16, 16, 22)
-    assert s["centermaps"].shape == (v, 128, 128, 1)
+    assert s["centermaps"].shape == (v, 64, 64, 1)
     assert s["extrinsic_matrices"].shape == (v, 3, 4)
 
 
