@@ -47,13 +47,23 @@ class Evaluator2D:
         n_joints = int(cfg.DATASET.NUM_JOINTS)
         metrics = PoseMetricState.create(n_joints, self.thresholds)
 
+        # fps warmup: the reference skips the first 20 batches
+        # (evaluate_2D.py:229-231); shrink the skip when the loader is
+        # shorter so small eval sets still report a (noisier) fps
+        try:
+            n_batches = len(loader)
+        except TypeError:
+            n_batches = None
+        warmup = 21 if (n_batches is None or n_batches > 30) else \
+            max(min(1, n_batches - 1), 0)
+
         infer_time = [0, 0.0]
         for i, batch in enumerate(loader):
             images = jnp.asarray(batch["imgs"])
             t0 = time.time()
             heatmaps, pose2d_pred = self.forward(self.variables, images)
             pose2d_pred = np.asarray(pose2d_pred)
-            if i > 20:
+            if i >= warmup:
                 infer_time[0] += 1
                 infer_time[1] += time.time() - t0
 

@@ -23,6 +23,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.pipeline import device_prefetch
@@ -105,6 +106,11 @@ class Trainer:
         meter = AverageMeter()
         t_start = time.time()
         n_samples = 0
+        # epoch averages accumulate EVERY iteration (reference AverageMeter,
+        # function.py:1272-1316) — but on device, so only PRINT_FREQ
+        # iterations force a host sync
+        accum: Optional[Dict] = None
+        accum_n = 0
         for name, loader in self.train_loaders.items():
             loader.set_epoch(epoch)
             it = device_prefetch(iter(loader), self.mesh,
@@ -117,9 +123,12 @@ class Trainer:
                 bs = step_batch["images"].shape[0]
                 n_samples += bs
                 self.train_global_steps += 1
+                weighted = jax.tree.map(lambda v: v * bs, losses)
+                accum = weighted if accum is None else jax.tree.map(
+                    jnp.add, accum, weighted)
+                accum_n += bs
                 if i % int(cfg.PRINT_FREQ) == 0:
                     host = {k: float(v) for k, v in losses.items()}
-                    meter.update(host, n=bs)
                     speed = n_samples / max(time.time() - t_start, 1e-9)
                     self.logger.info(
                         "Epoch[%d] %s[%d/%d] speed %.1f samples/s %s",
@@ -127,6 +136,9 @@ class Trainer:
                         " ".join(f"{k}={v:.5f}" for k, v in host.items()))
                     for k, v in host.items():
                         self.writer.add_scalar(f"train/{k}", v, self.train_global_steps)
+        if accum is not None and accum_n:
+            meter.update({k: float(v) / accum_n for k, v in accum.items()},
+                         n=accum_n)
         return meter.averages()
 
     def validate(self, epoch: int) -> Dict[str, float]:

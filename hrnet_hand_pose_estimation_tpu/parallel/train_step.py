@@ -93,28 +93,35 @@ def create_train_state(cfg, model, rng, sample_batch, mesh=None,
 
 def state_shardings(mesh, state: TrainState):
     """Sharding pytree for TrainState: params via param_shardings (TP-aware),
-    everything else replicated; optimizer moments follow their parameters."""
+    everything else replicated; optimizer moments follow their parameters.
+
+    Optimizer-state subtrees that are structurally identical to the params
+    tree (adam mu/nu, sgd momentum trace, ...) inherit the param shardings
+    wholesale; every other leaf (step counters, scalars) is replicated.
+    This is structural, not (shape, dtype)-keyed, so two different params
+    with identical shapes can never alias each other's shardings.
+    """
     p_sh = param_shardings(mesh, state.params)
+    params_struct = jax.tree.structure(state.params)
 
-    def opt_spec(leaf_path_tree):
-        return jax.tree.map(lambda _: replicated(mesh), leaf_path_tree)
+    def _is_params_like(node) -> bool:
+        try:
+            return jax.tree.structure(node) == params_struct
+        except Exception:
+            return False
 
-    # optimizer state contains pytrees shaped like params (adam mu/nu) plus
-    # scalars; map shapes-alike leaves to the matching param sharding
-    flat_params = jax.tree.leaves(state.params)
-    flat_shard = jax.tree.leaves(p_sh)
-    shape_to_shard = {}
-    for leaf, sh in zip(flat_params, flat_shard):
-        shape_to_shard.setdefault((leaf.shape, str(leaf.dtype)), sh)
-
-    def match(leaf):
-        return shape_to_shard.get((leaf.shape, str(leaf.dtype)), replicated(mesh))
+    opt_sh = jax.tree.map(
+        lambda node: p_sh if _is_params_like(node)
+        else jax.tree.map(lambda _: replicated(mesh), node),
+        state.opt_state,
+        is_leaf=_is_params_like,
+    )
 
     return TrainState(
         step=replicated(mesh),
         params=p_sh,
         batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
-        opt_state=jax.tree.map(match, state.opt_state),
+        opt_state=opt_sh,
     )
 
 
@@ -155,29 +162,43 @@ def make_train_step(cfg, model, tx, mesh=None) -> Callable:
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    bsh = NamedSharding(mesh, P("data"))
-
-    def batch_shardings(batch):
-        return {k: NamedSharding(mesh, P(*(["data"] + [None] * (v.ndim - 1))))
-                for k, v in batch.items()}
-
     # shardings resolved lazily on first call (need the state/batch trees)
     compiled: Dict[str, Callable] = {}
 
     def sharded_step(state, batch):
         if "fn" not in compiled:
+            st_sh = state_shardings(mesh, state)
             compiled["fn"] = jax.jit(
                 step_fn,
-                in_shardings=(state_shardings(mesh, state), batch_shardings(batch)),
-                out_shardings=(state_shardings(mesh, state),
-                               jax.tree.map(lambda _: replicated(mesh),
-                                            {"__placeholder__": 0})
-                               if False else None),
+                in_shardings=(st_sh, _batch_shardings(mesh, batch)),
+                out_shardings=(st_sh, None),
                 donate_argnums=(0,),
             )
         return compiled["fn"](state, batch)
 
     return sharded_step
+
+
+def _batch_shardings(mesh, batch):
+    """Batch-axis ('data') sharding for every array in a batch dict."""
+    return {k: NamedSharding(mesh, P(*(["data"] + [None] * (v.ndim - 1))))
+            for k, v in batch.items()}
+
+
+def _sharded_eval(mesh, step_fn) -> Callable:
+    """Shard eval batches over 'data' (state shardings resolved lazily)."""
+    compiled: Dict[str, Callable] = {}
+
+    def run(state, batch):
+        if "fn" not in compiled:
+            compiled["fn"] = jax.jit(
+                step_fn,
+                in_shardings=(state_shardings(mesh, state),
+                              _batch_shardings(mesh, batch)),
+            )
+        return compiled["fn"](state, batch)
+
+    return run
 
 
 def make_eval_step(cfg, model, mesh=None) -> Callable:
@@ -201,7 +222,7 @@ def make_eval_step(cfg, model, mesh=None) -> Callable:
                 "pose2d_pred": decode_heatmaps(heatmaps, use_softmax)}
 
     if is_cpm:
-        return jax.jit(cpm_step_fn)
+        return jax.jit(cpm_step_fn) if mesh is None else _sharded_eval(mesh, cpm_step_fn)
 
     def step_fn(state: TrainState, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -218,7 +239,7 @@ def make_eval_step(cfg, model, mesh=None) -> Callable:
 
     if mesh is None:
         return jax.jit(step_fn)
-    return jax.jit(step_fn)
+    return _sharded_eval(mesh, step_fn)
 
 
 def make_forward_fn(cfg, model) -> Callable:
