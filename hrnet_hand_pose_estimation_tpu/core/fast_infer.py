@@ -16,7 +16,9 @@ import jax.numpy as jnp
 
 from ..models.hrnet import HRNetBackbone, StageCfg
 from ..models.layers import BN_EPS
-from ..ops.pallas.fused_head_decode import fused_head_decode, prepare_head_params
+from ..ops.pallas.fused_head_decode import (fused_head_decode,
+                                            fused_head_decode_v2,
+                                            prepare_head_params)
 
 
 def _fold_cb(cb_params, cb_stats):
@@ -99,6 +101,6 @@ def make_fast_infer(cfg, pallas_layer1: bool = True,
             images = _s2d_stem_apply(variables, images, jnp.bfloat16)
         xs = backbone.apply(bb_vars, images, False)
         head = prepare_head_params(variables)
-        return fused_head_decode(xs, head, interpret=interpret)
+        return fused_head_decode_v2(xs, head, interpret=interpret)
 
     return infer

@@ -128,6 +128,132 @@ def fused_head_decode(xs: Sequence[jax.Array], params: HeadParams,
     return jnp.stack([u[:, 0, :k], v[:, 0, :k]], axis=-1)
 
 
+@lru_cache(maxsize=None)
+def _row_taps(src: int, dst: int):
+    """Static 2-tap decomposition of the align-corners matrix rows:
+    taps[d] = (i0, a, b) with  out[d] = a*x[i0] + b*x[i0+1]."""
+    m = _align_corners_matrix(src, dst)          # (dst, src)
+    taps = []
+    for d in range(dst):
+        nz = np.nonzero(m[d])[0]
+        i0 = int(min(nz[0], src - 2))
+        taps.append((i0, float(m[d, i0]), float(m[d, i0 + 1])))
+    return tuple(taps)
+
+
+def _kernel_v2(temp_ref, x0_ref, x1_ref, x2_ref, x3_ref,
+               w0_ref, w1_ref, w2_ref, w3_ref, bhead_ref,
+               uw1_ref, uw2_ref, uw3_ref,
+               wfinal_ref, bfinal_ref, out_ref, *, hw_shapes, w0_static):
+    """Head v2: commuted 1x1 conv + separable align-corners upsample.
+
+    The reference head (pose_hrnet.py:333-348) upsamples+concats 480ch, then
+    1x1 convs 480->480.  A 1x1 conv distributes over the channel concat and
+    commutes with (linear) bilinear interpolation, so we conv each branch at
+    NATIVE resolution with its kernel row-slice (8x fewer conv FLOPs) and
+    upsample the 480ch results separably (~10x fewer upsample FLOPs than the
+    dense Kronecker matmul): W-mix as one small matmul per source row, H-mix
+    as static two-tap FMAs over the row tiles (Mosaic supports neither 3D
+    dot_generals nor lane-folding reshapes, so everything stays 2D with
+    leading-dim slicing only).  Inputs are read HW-major straight from the
+    NHWC tensors — no XLA-side transposes.
+    """
+    hp = jnp.float32
+    h0, w0 = hw_shapes[0]
+
+    # branch 0 at full res: (HW, C0) @ (C0, 480)
+    acc = jnp.dot(x0_ref[0], w0_ref[...], preferred_element_type=hp)
+
+    # per-branch W-mixed row tiles: t[h] = Uw @ y[h]  -- (w0, 480) each
+    branch_rows = []
+    for x_ref, w_ref, uw_ref, (h, w) in (
+            (x1_ref, w1_ref, uw1_ref, hw_shapes[1]),
+            (x2_ref, w2_ref, uw2_ref, hw_shapes[2]),
+            (x3_ref, w3_ref, uw3_ref, hw_shapes[3])):
+        y = jnp.dot(x_ref[0], w_ref[...],
+                    preferred_element_type=hp).astype(jnp.bfloat16)
+        tiles = [jnp.dot(uw_ref[...], y[r * w:(r + 1) * w, :],
+                         preferred_element_type=hp) for r in range(h)]
+        branch_rows.append((tiles, _row_taps(h, h0)))
+
+    # H-mix: out row d = sum over branches of (a*t[i0] + b*t[i0+1])
+    rows = []
+    for d in range(h0):
+        r = None
+        for tiles, taps in branch_rows:
+            i0, a, b = taps[d]
+            contrib = tiles[i0] * a + tiles[i0 + 1] * b
+            r = contrib if r is None else r + contrib
+        rows.append(r)
+    acc = acc + jnp.concatenate(rows, axis=0)
+
+    y = jnp.maximum(acc + bhead_ref[...][None, :], 0.0).astype(jnp.bfloat16)
+    logits = jnp.dot(y, wfinal_ref[...], preferred_element_type=hp)
+    logits = (logits + bfinal_ref[...][None, :]) * temp_ref[0]  # (HW, 128pad)
+
+    m = jnp.max(logits, axis=0, keepdims=True)
+    e = jnp.exp(logits - m)          # padded cols: exp(large negative) = 0
+    s = jnp.sum(e, axis=0)
+    hw = logits.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    us = (idx % w0_static).astype(hp)
+    vs = (idx // w0_static).astype(hp)
+    out_ref[0, 0] = jnp.sum(e * us, axis=0) / s
+    out_ref[0, 1] = jnp.sum(e * vs, axis=0) / s
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_head_decode_v2(xs: Sequence[jax.Array], params: HeadParams,
+                         interpret: bool = False) -> jax.Array:
+    """xs: 4 NHWC branch tensors (B, h0/2^i, w0/2^i, Ci) -> (B, K, 2).
+
+    Same math as ``fused_head_decode`` (eval-exact head + softmax soft-argmax)
+    with the commuted-conv / separable-upsample formulation; reads the NHWC
+    branch tensors directly (no channels-major pre-transpose).
+    """
+    b, h0, w0, _ = xs[0].shape
+    k = params.w_final.shape[1]
+    hw_shapes = tuple((x.shape[1], x.shape[2]) for x in xs)
+
+    xs_flat = [x.astype(jnp.bfloat16).reshape(b, x.shape[1] * x.shape[2], x.shape[3])
+               for x in xs]
+    # per-branch slices of the folded head kernel (480_in -> 480_out)
+    w_head = params.w_head.astype(jnp.bfloat16)
+    offs = np.cumsum([0] + [x.shape[-1] for x in xs])
+    w_slices = [w_head[offs[i]:offs[i + 1]] for i in range(4)]
+    # W-mix interpolation matrices (H-mix taps are baked in statically), bf16
+    ups = [jnp.asarray(_align_corners_matrix(w, w0)).astype(jnp.bfloat16)
+           for (h, w) in hw_shapes[1:]]
+    # final conv padded to 128 lanes; pad columns get bias -inf so exp()=0
+    pad = 128 - k
+    w_final = jnp.pad(params.w_final.astype(jnp.bfloat16), ((0, 0), (0, pad)))
+    b_final = jnp.pad(params.b_final.astype(jnp.float32), (0, pad),
+                      constant_values=-1e30)
+    temp = jnp.asarray(params.temp, jnp.float32).reshape(1)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for x in xs_flat:
+        n, c = x.shape[1:]
+        in_specs.append(pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + 1 + 3 + 2)
+
+    out = pl.pallas_call(
+        partial(_kernel_v2, hw_shapes=hw_shapes, w0_static=w0),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(temp, *xs_flat, *w_slices, params.b_head.astype(jnp.float32),
+      *ups, w_final, b_final)
+    return out[:, :, :k].transpose(0, 2, 1)
+
+
 def prepare_head_params(variables, eps: float = 1e-5,
                         temperature: float | jax.Array = 1.0) -> HeadParams:
     """Fold head_cb's BN into its conv and pack final-conv weights.
