@@ -74,9 +74,51 @@ def _s2d_stem_apply(variables, images, dtype):
     return x
 
 
+def _fused_stem_layer1_apply(variables, images, interpret=False):
+    """Run stem + layer1 as ONE Pallas kernel (ops/pallas/fused_bottleneck.
+    fused_stem_layer1): s2d the image in XLA, fold all BNs inline, and feed
+    the s2d-rewritten stem kernels + layer1 chain to the kernel."""
+    from ..models.layers import BN_EPS
+    from ..ops.pallas.fused_bottleneck import fused_stem_layer1
+
+    p = variables["params"]["backbone"]
+    s = variables["batch_stats"]["backbone"]
+
+    k1, b1 = _fold_cb(p["stem1"], s["stem1"])
+    k2, b2 = _fold_cb(p["stem2"], s["stem2"])
+    stem_flat = (
+        _s2d_kernel(k1).reshape(4, 12, 64).astype(jnp.bfloat16),
+        b1.astype(jnp.float32),
+        k2.reshape(576, 64).astype(jnp.bfloat16),
+        b2.astype(jnp.float32),
+    )
+
+    flat, flags = [], []
+    for bidx in range(4):
+        blk_p, blk_s = p["layer1"][f"block{bidx}"], s["layer1"][f"block{bidx}"]
+        for cb, squeeze in (("cb1", True), ("cb2", False), ("cb3", True)):
+            k, bb = _fold_cb(blk_p[cb], blk_s[cb])
+            k = k[0, 0] if squeeze else k
+            flat += [k.astype(jnp.bfloat16), bb.astype(jnp.float32)]
+        if "downsample" in blk_p:
+            ks, bs = _fold_cb(blk_p["downsample"], blk_s["downsample"])
+            flat += [ks[0, 0].astype(jnp.bfloat16), bs.astype(jnp.float32)]
+            flags.append(True)
+        else:
+            flags.append(False)
+
+    x = _space_to_depth(images.astype(jnp.bfloat16))
+    return fused_stem_layer1(x, stem_flat, tuple(flat), tuple(flags),
+                             interpret=interpret)
+
+
 def make_fast_infer(cfg, pallas_layer1: bool = True,
                     pallas_branches: bool = False, interpret: bool = False,
-                    s2d_stem: bool = False):
+                    s2d_stem: bool = False, fuse_stem_layer1: bool = False):
+    # fuse_stem_layer1 defaults OFF: the whole stem+layer1 Pallas kernel is
+    # parity-exact but measured 53.6 vs 30.1 ms at B=128 — the parity-plane
+    # stride-2 taps and scratch staging lower to pathological Mosaic relayout
+    # code (PERF.md round 2).  Kept for experimentation.
     # pallas_branches defaults OFF: the per-branch BasicBlock kernels measured
     # 4x slower than XLA on TPU (tiny per-program work serialises branches XLA
     # runs concurrently; PERF.md) — kept for experimentation only.
@@ -89,6 +131,7 @@ def make_fast_infer(cfg, pallas_layer1: bool = True,
         pallas_layer1=pallas_layer1,
         pallas_branches=pallas_branches,
         skip_stem=s2d_stem,
+        skip_layer1=fuse_stem_layer1,
     )
 
     @jax.jit
@@ -97,7 +140,10 @@ def make_fast_infer(cfg, pallas_layer1: bool = True,
             "params": variables["params"]["backbone"],
             "batch_stats": variables["batch_stats"]["backbone"],
         }
-        if s2d_stem:
+        if fuse_stem_layer1:
+            images = _fused_stem_layer1_apply(variables, images,
+                                              interpret=interpret)
+        elif s2d_stem:
             images = _s2d_stem_apply(variables, images, jnp.bfloat16)
         xs = backbone.apply(bb_vars, images, False)
         head = prepare_head_params(variables)

@@ -180,6 +180,7 @@ class HRNetBackbone(nn.Module):
     pallas_layer1: bool = False
     pallas_branches: bool = False
     skip_stem: bool = False
+    skip_layer1: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
@@ -188,15 +189,19 @@ class HRNetBackbone(nn.Module):
         # skip_stem lets the serving fast path (core/fast_infer.py) replace the
         # stem with an exact space-to-depth rewrite and feed the 1/4-res tensor
         # directly; the stem params still exist in the tree (flax ignores
-        # unrequested subtrees at apply time).
-        if not self.skip_stem or self.is_initializing():
+        # unrequested subtrees at apply time).  skip_layer1 additionally skips
+        # the bottleneck chain (the fused stem+layer1 Pallas kernel feeds the
+        # 64x64x256 tensor straight in).
+        if not (self.skip_stem or self.skip_layer1) or self.is_initializing():
             x = ConvBN(64, 3, 2, relu=True, dtype=self.dtype, name="stem1")(x, train)
             x = ConvBN(64, 3, 2, relu=True, dtype=self.dtype, name="stem2")(x, train)
         # layer1: 4 bottlenecks -> 256ch (reference :292).  Inference can run
         # the whole chain as one Pallas kernel with VMEM-resident
         # intermediates (PERF.md: 4.2 vs 5.7 ms at B=128) — parameters stay
         # identical; BN folds into the kernel weights on the fly.
-        if self.pallas_layer1 and not train and not self.is_initializing():
+        if self.skip_layer1 and not self.is_initializing():
+            pass
+        elif self.pallas_layer1 and not train and not self.is_initializing():
             x = _pallas_layer1_apply(self.variables, x)
         else:
             x = ResLayer("BOTTLENECK", 64, 4, 64, dtype=self.dtype, name="layer1")(x, train)

@@ -117,6 +117,112 @@ def fused_bottleneck_chain(x: jax.Array, params_flat: Tuple[jax.Array, ...],
     )(x, *params_flat)
 
 
+def _stem_layer1_kernel(x_ref, ws1_ref, bs1_ref, ws2_ref, bs2_ref, *refs,
+                        n_blocks, shortcut_flags):
+    """Whole stem + layer1 per image, VMEM-resident.
+
+    x_ref: (1, 128, 128, 12) space-to-depth input (2x2 blocks of the 256x256
+    RGB image; see core/fast_infer._space_to_depth).  The 3x3/s2 stem convs
+    are exact space-to-depth rewrites (fast_infer._s2d_kernel algebra):
+    stem1 becomes a 2x2/s1 conv on the s2d input; stem2's stride-2 taps are
+    assembled from the four parity planes of the stem1 output (Mosaic has no
+    strided sublane loads, so parity planes come from sublane-only reshapes
+    + static middle-dim slices).  Then the 4 bottleneck blocks run as in
+    ``fused_bottleneck_chain``.  HBM sees one 384KB read and one 2MB write
+    per image instead of the ~5MB of intermediate traffic XLA's per-conv
+    schedule needs (PERF.md round 2).
+    """
+    out_ref = refs[-2]
+    taps_ref = refs[-1]   # scratch (9, 4096, 64) bf16
+    param_refs = refs[:-2]
+
+    x = x_ref[0]                                      # (128, 128, 12) bf16
+    # stem1: 2x2/s1 conv, pad ((1,0),(1,0)) on the s2d tensor.  Accumulated
+    # as 4 small matmuls (a lane concat of the shifted slices trips Mosaic's
+    # offset-mismatch check; at K=12 the concat isn't worth fighting for).
+    xp = jnp.pad(x, ((1, 0), (1, 0), (0, 0)))
+    y1 = None
+    for i, (di, dj) in enumerate((a, b) for a in range(2) for b in range(2)):
+        piece = xp[di:di + 128, dj:dj + 128, :].reshape(128 * 128, 12)
+        part = jnp.dot(piece, ws1_ref[i], preferred_element_type=jnp.float32)
+        y1 = part if y1 is None else y1 + part
+    y1 = jnp.maximum(y1 + bs1_ref[...], 0.0).astype(jnp.bfloat16)
+    y1 = y1.reshape(128, 128, 64)
+
+    # stem2: 3x3/s2 conv via parity planes.  out(i,j) tap (kh,kw) reads
+    # y1[2i-1+kh, 2j-1+kw]: row parity p=(kh+1)%2, block shift -1 iff kh==0.
+    # Taps are staged through a VMEM scratch ref: the plane slices carry
+    # mismatched vector-padding offsets that Mosaic cannot concat directly;
+    # a store+load round-trip through the scratch canonicalises the layout.
+    planes = {}
+    rowview = y1.reshape(64, 2, 128, 64)
+    for r in range(2):
+        rp = rowview[:, r].reshape(64, 64, 2, 64)
+        for c in range(2):
+            planes[(r, c)] = rp[:, :, c]              # (64, 64, 64)
+
+    for i, (kh, kw) in enumerate((a, b) for a in range(3) for b in range(3)):
+        p = planes[((kh + 1) % 2, (kw + 1) % 2)]
+        if kh == 0:   # rows i-1: prepend zero row-block, drop last
+            p = jnp.pad(p[:-1], ((1, 0), (0, 0), (0, 0)))
+        if kw == 0:
+            p = jnp.pad(p[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        taps_ref[i] = p.reshape(64 * 64, 64)
+
+    cols2 = jnp.concatenate([taps_ref[i] for i in range(9)], axis=1)
+    y2 = jnp.dot(cols2, ws2_ref[...], preferred_element_type=jnp.float32)
+    y2 = jnp.maximum(y2 + bs2_ref[...], 0.0).astype(jnp.bfloat16)
+    y2 = y2.reshape(64, 64, 64)
+
+    idx = 0
+    for b in range(n_blocks):
+        names = ["w1", "b1", "w2", "b2", "w3", "b3"]
+        if shortcut_flags[b]:
+            names += ["ws", "bs"]
+        params = {}
+        for name in names:
+            params[name] = param_refs[idx][...]
+            idx += 1
+        y2 = _block_body(y2, params, shortcut_flags[b])
+    out_ref[0] = y2
+
+
+@partial(jax.jit, static_argnames=("shortcut_flags", "out_channels", "interpret"))
+def fused_stem_layer1(x_s2d: jax.Array, stem_flat: Tuple[jax.Array, ...],
+                      params_flat: Tuple[jax.Array, ...],
+                      shortcut_flags: Tuple[bool, ...] = (True, False, False, False),
+                      out_channels: int = 256,
+                      interpret: bool = False) -> jax.Array:
+    """x_s2d: (B, 128, 128, 12) bf16 s2d input -> (B, 64, 64, 256) bf16.
+
+    ``stem_flat``: (ws1 (4, 12, 64), bs1 (64,), ws2 (576, 64), bs2 (64,)) with
+    ws1 the s2d-rewritten stem1 kernel (fast_infer._s2d_kernel reshaped to one
+    (12, 64) slab per 2x2 tap) and ws2 the folded stem2 kernel reshaped
+    (3,3,64,64)->(576,64).
+    ``params_flat``: layer1 blocks as in ``fused_bottleneck_chain``.
+    """
+    b = x_s2d.shape[0]
+    kernel = partial(_stem_layer1_kernel, n_blocks=len(shortcut_flags),
+                     shortcut_flags=tuple(shortcut_flags))
+    in_specs = [pl.BlockSpec((1, 128, 128, 12), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
+                 for _ in range(4 + len(params_flat))]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 64, 64, out_channels), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 64, 64, out_channels), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((9, 64 * 64, 64), jnp.bfloat16)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x_s2d, *stem_flat, *params_flat)
+
+
 def _basic_block_body(x_hw_c, w1, b1, w2, b2):
     """One folded BasicBlock: relu(conv3x3(relu(conv3x3(x))) + x)
     (reference pose_hrnet.py:28-57, stride 1, matching channels)."""

