@@ -112,6 +112,36 @@ def _fused_stem_layer1_apply(variables, images, interpret=False):
                              interpret=interpret)
 
 
+def precast_variables(variables, dtype=jnp.bfloat16):
+    """One-time serving-weights cast: stage/transition/stem conv kernels and
+    BN leaves to ``dtype`` so per-step in-graph casts become no-ops (saves
+    ~170MB/step of f32 weight reads at w32 scale).  The ``layer1`` subtree
+    and the head params stay f32 — the Pallas fast paths fold BN from f32
+    there, and changing the fold precision would perturb parity.
+    """
+    def cast_tree(tree, skip=()):
+        out = {}
+        for key, leaf in tree.items():
+            if key in skip:
+                out[key] = leaf
+            elif isinstance(leaf, dict):
+                out[key] = cast_tree(leaf)
+            else:
+                out[key] = leaf.astype(dtype) if leaf.dtype == jnp.float32 else leaf
+        return out
+
+    result = dict(variables)
+    for coll in ("params", "batch_stats"):
+        if coll not in variables:
+            continue
+        tree = dict(variables[coll])
+        if "backbone" in tree:
+            tree["backbone"] = cast_tree(tree["backbone"],
+                                         skip=("layer1", "stem1", "stem2"))
+        result[coll] = {**variables[coll], **tree}
+    return result
+
+
 def make_fast_infer(cfg, pallas_layer1: bool = True,
                     pallas_branches: bool = False, interpret: bool = False,
                     s2d_stem: bool = False, fuse_stem_layer1: bool = False):

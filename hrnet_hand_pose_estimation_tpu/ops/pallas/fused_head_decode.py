@@ -144,7 +144,7 @@ def _row_taps(src: int, dst: int):
 def _kernel_v2(temp_ref, x0_ref, x1_ref, x2_ref, x3_ref,
                w0_ref, w1_ref, w2_ref, w3_ref, bhead_ref,
                uw1_ref, uw2_ref, uw3_ref,
-               wfinal_ref, bfinal_ref, out_ref, *, hw_shapes, w0_static):
+               wfinal_ref, bfinal_ref, out_ref, *, hw_shapes, w0_static, spp):
     """Head v2: commuted 1x1 conv + separable align-corners upsample.
 
     The reference head (pose_hrnet.py:333-348) upsamples+concats 480ch, then
@@ -161,59 +161,63 @@ def _kernel_v2(temp_ref, x0_ref, x1_ref, x2_ref, x3_ref,
     hp = jnp.float32
     h0, w0 = hw_shapes[0]
 
-    # branch 0 at full res: (HW, C0) @ (C0, 480)
-    acc = jnp.dot(x0_ref[0], w0_ref[...], preferred_element_type=hp)
+    for n in range(spp):
+        # branch 0 at full res: (HW, C0) @ (C0, 480)
+        acc = jnp.dot(x0_ref[n], w0_ref[...], preferred_element_type=hp)
 
-    # per-branch W-mixed row tiles: t[h] = Uw @ y[h]  -- (w0, 480) each
-    branch_rows = []
-    for x_ref, w_ref, uw_ref, (h, w) in (
-            (x1_ref, w1_ref, uw1_ref, hw_shapes[1]),
-            (x2_ref, w2_ref, uw2_ref, hw_shapes[2]),
-            (x3_ref, w3_ref, uw3_ref, hw_shapes[3])):
-        y = jnp.dot(x_ref[0], w_ref[...],
-                    preferred_element_type=hp).astype(jnp.bfloat16)
-        tiles = [jnp.dot(uw_ref[...], y[r * w:(r + 1) * w, :],
-                         preferred_element_type=hp) for r in range(h)]
-        branch_rows.append((tiles, _row_taps(h, h0)))
+        # per-branch W-mixed row tiles: t[h] = Uw @ y[h]  -- (w0, 480) each
+        branch_rows = []
+        for x_ref, w_ref, uw_ref, (h, w) in (
+                (x1_ref, w1_ref, uw1_ref, hw_shapes[1]),
+                (x2_ref, w2_ref, uw2_ref, hw_shapes[2]),
+                (x3_ref, w3_ref, uw3_ref, hw_shapes[3])):
+            y = jnp.dot(x_ref[n], w_ref[...],
+                        preferred_element_type=hp).astype(jnp.bfloat16)
+            tiles = [jnp.dot(uw_ref[...], y[r * w:(r + 1) * w, :],
+                             preferred_element_type=hp) for r in range(h)]
+            branch_rows.append((tiles, _row_taps(h, h0)))
 
-    # H-mix: out row d = sum over branches of (a*t[i0] + b*t[i0+1])
-    rows = []
-    for d in range(h0):
-        r = None
-        for tiles, taps in branch_rows:
-            i0, a, b = taps[d]
-            contrib = tiles[i0] * a + tiles[i0 + 1] * b
-            r = contrib if r is None else r + contrib
-        rows.append(r)
-    acc = acc + jnp.concatenate(rows, axis=0)
+        # H-mix: out row d = sum over branches of (a*t[i0] + b*t[i0+1])
+        rows = []
+        for d in range(h0):
+            r = None
+            for tiles, taps in branch_rows:
+                i0, a, b = taps[d]
+                contrib = tiles[i0] * a + tiles[i0 + 1] * b
+                r = contrib if r is None else r + contrib
+            rows.append(r)
+        acc = acc + jnp.concatenate(rows, axis=0)
 
-    y = jnp.maximum(acc + bhead_ref[...][None, :], 0.0).astype(jnp.bfloat16)
-    logits = jnp.dot(y, wfinal_ref[...], preferred_element_type=hp)
-    logits = (logits + bfinal_ref[...][None, :]) * temp_ref[0]  # (HW, 128pad)
+        y = jnp.maximum(acc + bhead_ref[...][None, :], 0.0).astype(jnp.bfloat16)
+        logits = jnp.dot(y, wfinal_ref[...], preferred_element_type=hp)
+        logits = (logits + bfinal_ref[...][None, :]) * temp_ref[0]  # (HW, 128pad)
 
-    m = jnp.max(logits, axis=0, keepdims=True)
-    e = jnp.exp(logits - m)          # padded cols: exp(large negative) = 0
-    s = jnp.sum(e, axis=0)
-    hw = logits.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
-    us = (idx % w0_static).astype(hp)
-    vs = (idx // w0_static).astype(hp)
-    out_ref[0, 0] = jnp.sum(e * us, axis=0) / s
-    out_ref[0, 1] = jnp.sum(e * vs, axis=0) / s
+        m = jnp.max(logits, axis=0, keepdims=True)
+        e = jnp.exp(logits - m)      # padded cols: exp(large negative) = 0
+        s = jnp.sum(e, axis=0)
+        hw = logits.shape[0]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+        us = (idx % w0_static).astype(hp)
+        vs = (idx // w0_static).astype(hp)
+        out_ref[n, 0] = jnp.sum(e * us, axis=0) / s
+        out_ref[n, 1] = jnp.sum(e * vs, axis=0) / s
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "samples_per_program"))
 def fused_head_decode_v2(xs: Sequence[jax.Array], params: HeadParams,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         samples_per_program: int = 4) -> jax.Array:
     """xs: 4 NHWC branch tensors (B, h0/2^i, w0/2^i, Ci) -> (B, K, 2).
 
     Same math as ``fused_head_decode`` (eval-exact head + softmax soft-argmax)
     with the commuted-conv / separable-upsample formulation; reads the NHWC
-    branch tensors directly (no channels-major pre-transpose).
+    branch tensors directly (no channels-major pre-transpose).  Several
+    samples per grid program amortise the per-program pipeline overhead.
     """
     b, h0, w0, _ = xs[0].shape
     k = params.w_final.shape[1]
     hw_shapes = tuple((x.shape[1], x.shape[2]) for x in xs)
+    spp = samples_per_program if b % samples_per_program == 0 else 1
 
     xs_flat = [x.astype(jnp.bfloat16).reshape(b, x.shape[1] * x.shape[2], x.shape[3])
                for x in xs]
@@ -234,15 +238,15 @@ def fused_head_decode_v2(xs: Sequence[jax.Array], params: HeadParams,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     for x in xs_flat:
         n, c = x.shape[1:]
-        in_specs.append(pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((spp, n, c), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + 1 + 3 + 2)
 
     out = pl.pallas_call(
-        partial(_kernel_v2, hw_shapes=hw_shapes, w0_static=w0),
-        grid=(b,),
+        partial(_kernel_v2, hw_shapes=hw_shapes, w0_static=w0, spp=spp),
+        grid=(b // spp,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((spp, 2, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2, 128), jnp.float32),
         interpret=interpret,
