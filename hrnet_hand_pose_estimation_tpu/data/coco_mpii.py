@@ -56,6 +56,7 @@ class COCOKeypointsDataset:
             kps = np.asarray(ann["keypoints"], np.float32).reshape(-1, 3)
             self.samples.append({
                 "file": images[ann["image_id"]]["file_name"],
+                "image_id": int(ann["image_id"]),
                 "keypoints": kps,
                 "bbox": ann["bbox"],
                 "area": ann.get("area", ann["bbox"][2] * ann["bbox"][3]),
@@ -106,6 +107,118 @@ class COCOKeypointsDataset:
         keep = oks_nms(jnp.asarray(kpts), jnp.asarray(scores),
                        jnp.asarray(areas), oks_thresh)
         return np.asarray(keep)
+
+    def evaluate(self, preds, all_boxes, image_ids, output_dir,
+                 in_vis_thre: float = 0.2, oks_thre: float = 0.9,
+                 image_set: str = "val2017"):
+        """Full COCO keypoint results path (reference coco.py:288-445):
+        per-instance rescoring (mean visible-joint confidence x box score),
+        per-image OKS-NMS via ops/nms.py, and the reference-format
+        ``keypoints_<set>_results_<rank>.json``.
+
+        ``preds``: (N, K, 3) [u, v, conf]; ``all_boxes``: (N, 6)
+        [cx, cy, sx, sy, area, box_score]; ``image_ids``: per-instance int
+        image ids.  Returns (name_values, AP) where AP comes from the
+        numpy OKS-AP evaluator below (pycocotools is not in this image;
+        documented divergence — same metric definition, simplified matching).
+        """
+        import jax.numpy as jnp
+
+        from ..ops.nms import oks_nms
+
+        preds = np.asarray(preds, np.float32)
+        all_boxes = np.asarray(all_boxes, np.float32)
+        by_image: Dict[int, List[int]] = {}
+        inst_scores = np.zeros(len(preds), np.float32)
+        for i in range(len(preds)):
+            conf = preds[i, :, 2]
+            valid = conf > in_vis_thre
+            kpt_score = float(conf[valid].mean()) if valid.any() else 0.0
+            inst_scores[i] = kpt_score * float(all_boxes[i, 5])
+            by_image.setdefault(int(image_ids[i]), []).append(i)
+
+        results = []
+        for img_id, idxs in by_image.items():
+            idxs = np.asarray(idxs)
+            kpts = preds[idxs]
+            keep = np.asarray(oks_nms(
+                jnp.asarray(kpts), jnp.asarray(inst_scores[idxs]),
+                jnp.asarray(all_boxes[idxs, 4]), oks_thre))
+            if not keep.any():            # reference keeps everything then
+                keep = np.ones(len(idxs), bool)
+            for i in idxs[keep]:
+                results.append({
+                    "image_id": img_id,
+                    "category_id": 1,
+                    "keypoints": [float(v) for v in preds[i].reshape(-1)],
+                    "score": float(inst_scores[i]),
+                    "center": [float(v) for v in all_boxes[i, 0:2]],
+                    "scale": [float(v) for v in all_boxes[i, 2:4]],
+                })
+
+        res_folder = os.path.join(output_dir, "results")
+        os.makedirs(res_folder, exist_ok=True)
+        res_file = os.path.join(
+            res_folder, f"keypoints_{image_set}_results_0.json")
+        with open(res_file, "w") as f:
+            json.dump(results, f, sort_keys=True, indent=4)
+
+        ap = self.oks_average_precision(results)
+        name_values = {"AP": ap, "res_file": res_file,
+                       "num_results": len(results)}
+        return name_values, ap
+
+    def oks_average_precision(self, results: List[Dict],
+                              thresholds: Optional[np.ndarray] = None) -> float:
+        """Numpy OKS-AP over the loaded GT annotations: greedy best-OKS
+        matching per image at thresholds 0.5:0.05:0.95 (the COCOeval metric
+        definition, without area-range/maxDets stratification)."""
+        from ..ops.nms import COCO_SIGMAS
+
+        if thresholds is None:
+            thresholds = np.arange(0.5, 1.0, 0.05)
+        gts_by_image: Dict[int, List[Dict]] = {}
+        for s in self.samples:
+            gts_by_image.setdefault(s.get("image_id", -1), []).append(s)
+        dets = sorted(results, key=lambda r: -r["score"])
+        n_gt = sum(len(v) for v in gts_by_image.values())
+        if n_gt == 0 or not dets:
+            return 0.0
+        sig = np.asarray(COCO_SIGMAS, np.float32)[: self.num_joints]
+        var = (2 * sig) ** 2
+        aps = []
+        for t in thresholds:
+            matched = {k: np.zeros(len(v), bool) for k, v in gts_by_image.items()}
+            tp = np.zeros(len(dets))
+            for d_i, det in enumerate(dets):
+                gts = gts_by_image.get(det["image_id"], [])
+                best, best_g = 0.0, -1
+                dk = np.asarray(det["keypoints"], np.float32).reshape(-1, 3)
+                for g_i, gt in enumerate(gts):
+                    gk = gt["keypoints"]
+                    vis = gk[:, 2] > 0
+                    if not vis.any():
+                        continue
+                    d2 = ((dk[vis, :2] - gk[vis, :2]) ** 2).sum(-1)
+                    e = d2 / (var[vis] * 2.0 * max(gt["area"], 1.0))
+                    oks = float(np.exp(-e).mean())
+                    if oks > best:
+                        best, best_g = oks, g_i
+                if (best >= t and best_g >= 0
+                        and det["image_id"] in matched
+                        and not matched[det["image_id"]][best_g]):
+                    matched[det["image_id"]][best_g] = True
+                    tp[d_i] = 1
+            cum_tp = np.cumsum(tp)
+            recall = cum_tp / n_gt
+            precision = cum_tp / (np.arange(len(dets)) + 1)
+            # 101-point interpolated AP (COCOeval convention)
+            ap = 0.0
+            for r in np.linspace(0, 1, 101):
+                p = precision[recall >= r]
+                ap += float(p.max()) if len(p) else 0.0
+            aps.append(ap / 101)
+        return float(np.mean(aps))
 
 
 class MPIIDataset:

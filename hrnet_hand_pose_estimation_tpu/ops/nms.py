@@ -85,13 +85,20 @@ def soft_nms(dets: jax.Array, sigma: float = 0.5, score_thresh: float = 0.001,
     return jnp.concatenate([boxes, final[:, None]], axis=1)
 
 
+# the 17 published COCO keypoint sigmas (reference nms/nms.py:77)
+COCO_SIGMAS = (0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72,
+               0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89)
+COCO_SIGMAS = tuple(s / 10.0 for s in COCO_SIGMAS)
+
+
 def oks_matrix(kpts: jax.Array, areas: jax.Array,
                sigmas: Optional[jax.Array] = None) -> jax.Array:
     """Pairwise object-keypoint similarity (COCO OKS; reference
     dataset/coco.py eval path).  kpts: (N, K, 3) [x, y, vis]."""
     k = kpts.shape[1]
     if sigmas is None:
-        sigmas = jnp.full((k,), 0.05)
+        sigmas = (jnp.asarray(COCO_SIGMAS) if k == 17
+                  else jnp.full((k,), 0.05))
     var = (2 * sigmas) ** 2
     dx = kpts[:, None, :, 0] - kpts[None, :, :, 0]
     dy = kpts[:, None, :, 1] - kpts[None, :, :, 1]

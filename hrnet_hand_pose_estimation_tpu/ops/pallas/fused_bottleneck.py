@@ -34,25 +34,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _block_body(x_hw_c, params, has_shortcut):
-    """One folded bottleneck on a (H, W, Cin) VMEM value."""
-    h, w, cin = x_hw_c.shape
-    hp = jax.lax.Precision.HIGHEST  # bf16 inputs; accumulate f32
-    flat = x_hw_c.reshape(h * w, cin)
+def _block_body(x_hw_c, params, has_shortcut, im2col_mode="full"):
+    """One folded bottleneck on a (H, W, Cin) or (TB, H, W, Cin) VMEM value."""
+    if x_hw_c.ndim == 3:
+        x_hw_c = x_hw_c[None]
+    tb, h, w, cin = x_hw_c.shape
+    flat = x_hw_c.reshape(tb * h * w, cin)
 
     y = jnp.dot(flat, params["w1"], preferred_element_type=jnp.float32)
-    y = jnp.maximum(y + params["b1"], 0.0).astype(jnp.bfloat16)     # (HW, Cm)
+    y = jnp.maximum(y + params["b1"], 0.0).astype(jnp.bfloat16)     # (N, Cm)
     cm = y.shape[-1]
 
-    # 3x3 conv as ONE im2col matmul: (HW, 9*Cm) @ (9*Cm, Cm).  The taller
-    # contracting dim keeps the MXU busy (9 separate (.., Cm) matmuls leave
-    # most of the systolic array idle for Cm=64).
-    ypad = jnp.pad(y.reshape(h, w, cm), ((1, 1), (1, 1), (0, 0)))
-    cols = jnp.concatenate(
-        [ypad[di:di + h, dj:dj + w, :].reshape(h * w, cm)
-         for di in range(3) for dj in range(3)], axis=1)            # (HW, 9Cm)
+    ypad = jnp.pad(y.reshape(tb, h, w, cm),
+                   ((0, 0), (1, 1), (1, 1), (0, 0)))
     w2 = params["w2"].reshape(9 * cm, cm)
-    acc = jnp.dot(cols, w2, preferred_element_type=jnp.float32)
+    if im2col_mode == "full":
+        # 3x3 conv as ONE im2col matmul: (N, 9*Cm) @ (9*Cm, Cm).  The taller
+        # contracting dim keeps the MXU busy (9 separate (.., Cm) matmuls
+        # leave most of the systolic array idle for Cm=64).
+        cols = jnp.concatenate(
+            [ypad[:, di:di + h, dj:dj + w, :].reshape(tb * h * w, cm)
+             for di in range(3) for dj in range(3)], axis=1)        # (N, 9Cm)
+        acc = jnp.dot(cols, w2, preferred_element_type=jnp.float32)
+    else:
+        # "rows": one 3-tap im2col + matmul per kernel row (K=3*Cm), f32
+        # accumulated — third the VMEM-copy volume per concat at still-decent
+        # contraction depth.
+        acc = None
+        for di in range(3):
+            cols = jnp.concatenate(
+                [ypad[:, di:di + h, dj:dj + w, :].reshape(tb * h * w, cm)
+                 for dj in range(3)], axis=1)                       # (N, 3Cm)
+            part = jnp.dot(cols, w2[3 * cm * di:3 * cm * (di + 1)],
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
     y = jnp.maximum(acc + params["b2"], 0.0).astype(jnp.bfloat16)
 
     out = jnp.dot(y, params["w3"], preferred_element_type=jnp.float32)
@@ -63,15 +78,16 @@ def _block_body(x_hw_c, params, has_shortcut):
         sc = sc + params["bs"]
     else:
         sc = flat.astype(jnp.float32)
-    return jnp.maximum(out + sc, 0.0).astype(jnp.bfloat16).reshape(h, w, -1)
+    return jnp.maximum(out + sc, 0.0).astype(jnp.bfloat16).reshape(tb, h, w, -1)
 
 
-def _make_kernel(n_blocks: int, shortcut_flags: Tuple[bool, ...]):
+def _make_kernel(n_blocks: int, shortcut_flags: Tuple[bool, ...],
+                 im2col_mode: str = "full"):
     def kernel(x_ref, *refs):
         # refs: per-block param refs (flattened), then out_ref last
         out_ref = refs[-1]
         param_refs = refs[:-1]
-        x = x_ref[0]
+        x = x_ref[...]
         idx = 0
         for b in range(n_blocks):
             names = ["w1", "b1", "w2", "b2", "w3", "b3"]
@@ -81,33 +97,38 @@ def _make_kernel(n_blocks: int, shortcut_flags: Tuple[bool, ...]):
             for name in names:
                 params[name] = param_refs[idx][...]
                 idx += 1
-            x = _block_body(x, params, shortcut_flags[b])
-        out_ref[0] = x
+            x = _block_body(x, params, shortcut_flags[b], im2col_mode)
+        out_ref[...] = x
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("shortcut_flags", "out_channels", "interpret"))
+@partial(jax.jit, static_argnames=("shortcut_flags", "out_channels",
+                                   "interpret", "samples_per_program",
+                                   "im2col_mode"))
 def fused_bottleneck_chain(x: jax.Array, params_flat: Tuple[jax.Array, ...],
                            shortcut_flags: Tuple[bool, ...] = (True, False, False, False),
                            out_channels: int = 256,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           samples_per_program: int = 1,
+                           im2col_mode: str = "full") -> jax.Array:
     """x: (B, H, W, Cin) bf16 -> (B, H, W, out_channels) bf16.
 
     ``params_flat``: per-block params in order (w1,b1,w2,b2,w3,b3[,ws,bs]).
     """
     b, h, w, cin = x.shape
+    tb = samples_per_program if b % samples_per_program == 0 else 1
     n_blocks = len(shortcut_flags)
-    kernel = _make_kernel(n_blocks, tuple(shortcut_flags))
-    in_specs = [pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0),
+    kernel = _make_kernel(n_blocks, tuple(shortcut_flags), im2col_mode)
+    in_specs = [pl.BlockSpec((tb, h, w, cin), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     for p in params_flat:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // tb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, w, out_channels), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((tb, h, w, out_channels), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, out_channels), jnp.bfloat16),
         interpret=interpret,
@@ -184,7 +205,7 @@ def _stem_layer1_kernel(x_ref, ws1_ref, bs1_ref, ws2_ref, bs2_ref, *refs,
             params[name] = param_refs[idx][...]
             idx += 1
         y2 = _block_body(y2, params, shortcut_flags[b])
-    out_ref[0] = y2
+    out_ref[...] = y2
 
 
 @partial(jax.jit, static_argnames=("shortcut_flags", "out_channels", "interpret"))

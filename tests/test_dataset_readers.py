@@ -222,6 +222,64 @@ def test_mpii_reader_roundtrip(tmp_path, rng):
     assert s["heatmaps"].shape == (16, 16, 16)
 
 
+# ------------------------------------------------------------------ COCO
+def test_coco_evaluate_oks_pipeline(tmp_path, rng):
+    """Full reference eval path (coco.py:288-445): rescoring, per-image
+    OKS-NMS via ops/nms.py, reference-schema results json, OKS-AP."""
+    from hrnet_hand_pose_estimation_tpu.data.coco_mpii import COCOKeypointsDataset
+
+    root = tmp_path / "coco"
+    images, annotations = [], []
+    gt_kpts = {}
+    for img_id in (1, 2):
+        fname = f"{img_id:012d}.jpg"
+        _img(str(root / "images" / "val2017" / fname), size=96, seed=img_id)
+        images.append({"id": img_id, "file_name": fname,
+                       "width": 96, "height": 96})
+        kps = np.zeros((17, 3), np.float32)
+        kps[:, 0] = rng.uniform(20, 70, 17)
+        kps[:, 1] = rng.uniform(20, 70, 17)
+        kps[:, 2] = 2
+        gt_kpts[img_id] = kps
+        annotations.append({
+            "id": img_id * 10, "image_id": img_id, "category_id": 1,
+            "num_keypoints": 17, "iscrowd": 0,
+            "keypoints": kps.reshape(-1).tolist(),
+            "bbox": [15.0, 15.0, 60.0, 60.0], "area": 3600.0,
+        })
+    os.makedirs(root / "annotations", exist_ok=True)
+    with open(root / "annotations" / "person_keypoints_val2017.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+
+    ds = COCOKeypointsDataset(str(root), "val2017")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["pose2d"].shape == (17, 2)
+
+    # predictions: exact GT for both images + a duplicate of image 1's
+    # instance (slightly perturbed) that OKS-NMS must suppress
+    preds = np.stack([
+        np.concatenate([gt_kpts[1][:, :2], np.full((17, 1), 0.9)], 1),
+        np.concatenate([gt_kpts[2][:, :2], np.full((17, 1), 0.9)], 1),
+        np.concatenate([gt_kpts[1][:, :2] + 0.5, np.full((17, 1), 0.5)], 1),
+    ])
+    boxes = np.array([[45, 45, 0.3, 0.3, 3600, 1.0]] * 3, np.float32)
+    name_values, ap = ds.evaluate(preds, boxes, [1, 2, 1], str(tmp_path / "out"))
+
+    assert os.path.isfile(name_values["res_file"])
+    with open(name_values["res_file"]) as f:
+        results = json.load(f)
+    # the duplicate was suppressed by OKS-NMS
+    assert name_values["num_results"] == 2
+    for r in results:
+        assert set(r) == {"image_id", "category_id", "keypoints", "score",
+                          "center", "scale"}       # reference writer schema
+        assert len(r["keypoints"]) == 51
+        # rescoring: mean joint conf (0.9) x box score (1.0)
+        assert abs(r["score"] - 0.9) < 1e-6
+    assert ap > 0.99                               # exact predictions
+
+
 # ------------------------------------------------------------------- FHA
 def test_fha_reader_roundtrip(tmp_path, rng):
     from hrnet_hand_pose_estimation_tpu.data.fha import (
@@ -242,8 +300,68 @@ def test_fha_reader_roundtrip(tmp_path, rng):
     ds = FHADataset(str(tmp_path), "evaluation")
     assert len(ds) == n
     s = ds[0]
-    np.testing.assert_allclose(s["pose3d"], skels[0], rtol=1e-5)
-    np.testing.assert_allclose(s["pose2d"], project_fha(skels[0]), atol=1e-3)
+    from hrnet_hand_pose_estimation_tpu.data.fha import REORDER_IDX, world_to_cam
+    reordered = skels[0][REORDER_IDX]
+    # 3D GT comes back in CAMERA coords, reordered (FHADataset.py:150,163-165)
+    np.testing.assert_allclose(s["pose3d"], world_to_cam(reordered), rtol=1e-5)
+    np.testing.assert_allclose(s["pose2d"], project_fha(reordered), atol=1e-3)
+    assert s["visibility"].shape == (21, 1)
+
+    # sequence windows (FHADataset.py:149-159): N_FRAMES=2, stride=1 -> 1 window
+    seq_ds = FHADataset(str(tmp_path), "evaluation", n_frames=2, stride=1)
+    assert len(seq_ds) == n - 1
+    w = seq_ds[0]
+    assert w["imgs"].shape[0] == 2 and w["pose3d"].shape == (2, 21, 3)
+
+
+def test_fha_object_utils(tmp_path, rng):
+    """Object 6D-pose chain (FHA_utils.py:10-45,131-144): PLY loader, 4x4
+    transposed transforms, mm scaling, extrinsic application."""
+    from hrnet_hand_pose_estimation_tpu.data.fha import (
+        CAM_EXTR, get_obj_transform, get_skeleton, load_objects,
+        transform_obj_verts)
+
+    obj_root = tmp_path / "Object_models"
+    mdir = obj_root / "milk_model"
+    os.makedirs(mdir, exist_ok=True)
+    verts = rng.uniform(-0.05, 0.05, size=(4, 3))
+    with open(mdir / "milk_model.ply", "w") as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex 4\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "element face 2\nproperty list uchar int vertex_indices\n"
+                "end_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        f.write("3 0 1 2\n3 1 2 3\n")
+    models = load_objects(str(obj_root))
+    np.testing.assert_allclose(models["milk"]["verts"], verts, atol=1e-6)
+    np.testing.assert_array_equal(models["milk"]["faces"], [[0, 1, 2], [1, 2, 3]])
+
+    sample = {"subject": "Subject_5", "action_name": "pour", "seq_idx": "1",
+              "frame_idx": 1}
+    tdir = tmp_path / "Object_6D_pose_annotation_v1" / "Subject_5" / "pour" / "1"
+    os.makedirs(tdir, exist_ok=True)
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = [10, 20, 30]
+    with open(tdir / "object_pose.txt", "w") as f:
+        f.write("0 " + " ".join("0" for _ in range(16)) + "\n")
+        f.write("1 " + " ".join(str(x) for x in t.T.reshape(-1)) + "\n")
+    got = get_obj_transform(sample, str(tmp_path / "Object_6D_pose_annotation_v1"))
+    np.testing.assert_allclose(got, t, atol=1e-6)   # file stores transposed
+
+    cam = transform_obj_verts(verts, t)
+    expected = (CAM_EXTR @ np.concatenate(
+        [verts * 1000 + [10, 20, 30], np.ones((4, 1))], 1).T).T[:, :3]
+    np.testing.assert_allclose(cam, expected, atol=1e-4)
+
+    skel_dir = tmp_path / "Hand_pose_annotation_v1" / "Subject_5" / "pour" / "1"
+    os.makedirs(skel_dir, exist_ok=True)
+    sk = rng.uniform(-10, 10, size=(2, 21, 3))
+    with open(skel_dir / "skeleton.txt", "w") as f:
+        for i in range(2):
+            f.write(" ".join([str(i)] + [str(v) for v in sk[i].reshape(-1)]) + "\n")
+    got_sk = get_skeleton(sample, str(tmp_path / "Hand_pose_annotation_v1"))
+    np.testing.assert_allclose(got_sk, sk[1], rtol=1e-6)
 
 
 # ------------------------------------------------------------------- STB
@@ -273,31 +391,110 @@ def test_stb_reader_roundtrip(tmp_path, rng):
 
 
 # -------------------------------------------------------------- HandGraph
-def test_handgraph_reader_roundtrip(tmp_path, rng):
-    from hrnet_hand_pose_estimation_tpu.data.handgraph import HandGraphDataset
-
+def _handgraph_fixture(tmp_path, rng, n_poses=2, n_cams=2):
+    """Reference on-disk protocol: images/l*/cam*/<..._l21_camNN_.MMMM.png>,
+    name-prefixed label files (HandGraph_utils/utils.py:12-77)."""
     root = tmp_path / "HandGraph"
     labels = root / "3D_labels"
     os.makedirs(labels, exist_ok=True)
-    n_poses, n_cams = 2, 2
-    # camPosition.txt: one row of 7 floats per (pose, cam): [f, tx, ty, tz, quat...]
-    cams = np.zeros((n_poses * n_cams, 7))
-    cams[:, 0] = 180.0                      # focal
-    cams[:, 4] = 1.0                        # identity quaternion (w=1)
-    np.savetxt(labels / "camPosition.txt", cams)
+    with open(labels / "camPosition.txt", "w") as f:
+        for p in range(n_poses):
+            for c in range(n_cams):
+                r = rng.uniform(-30, 30, size=3)
+                f.write(f"cam{c+1:02d} 180.0 "
+                        f"{10*p} {5*c} -40.0 {r[0]:.3f} {r[1]:.3f} {r[2]:.3f}\n")
     gestures = rng.uniform(-40, 40, size=(n_poses, 21, 3)) + [0, 0, 600]
-    np.savetxt(labels / "handGestures.txt", gestures.reshape(n_poses, -1))
+    with open(labels / "handGestures.txt", "w") as f:
+        for p in range(n_poses):
+            for j in range(21):
+                x, y, z = gestures[p, j]
+                f.write(f"joint{j:02d} {x:.5f} {y:.5f} {z:.5f}\n")
     with open(labels / "val-camera.txt", "w") as f:
-        f.write("cam1\n")
+        f.write("cam02\n")
     for p in range(n_poses):
         for c in range(n_cams):
-            _img(str(root / "images" / f"pose{p}_cam{c}.png"), size=64, seed=p * 2 + c)
+            name = f"handV2_gPoses_ren_l21_cam{c+1:02d}_.{p+1:04d}.png"
+            path = root / "images" / "l21" / f"cam{c+1:02d}" / name
+            _img(str(path), size=64, seed=p * 2 + c)
+    return root, gestures
+
+
+def test_handgraph_reader_roundtrip(tmp_path, rng):
+    from hrnet_hand_pose_estimation_tpu.data.handgraph import (
+        HandGraphDataset, cam_projection, euler_xyz_to_rot_mx,
+        extract_pose_camera_id, transform_global_to_cam)
+
+    n_poses, n_cams = 2, 2
+    _, gestures = _handgraph_fixture(tmp_path, rng, n_poses, n_cams)
 
     train = HandGraphDataset(str(tmp_path), "training")
     val = HandGraphDataset(str(tmp_path), "evaluation")
     assert len(train) + len(val) == n_poses * n_cams
-    assert len(val) == n_poses            # the cam1 images
+    assert len(val) == n_poses            # the cam02 images
+    assert all("cam02" in p for p in val.image_paths)
+
+    # filename convention (utils.py:41-51)
+    assert extract_pose_camera_id("handV2_l21_cam03_.0007.png") == (6, 2)
+
     s = train[0]
     assert s["pose2d"].shape == (21, 2)
     assert s["pose3d"].shape == (21, 3)
     assert np.isfinite(s["pose2d"]).all()
+
+    # golden camera math vs the reference formulas (utils.py:80-140):
+    # R = Rz Ry Rx with degree eulers, y/z flip, right-multiplication
+    cam = train.all_camera_params[0][0]
+    rad = np.deg2rad(cam[4:7])
+    sx, cx = np.sin(rad[0]), np.cos(rad[0])
+    sy, cy = np.sin(rad[1]), np.cos(rad[1])
+    sz, cz = np.sin(rad[2]), np.cos(rad[2])
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    np.testing.assert_allclose(euler_xyz_to_rot_mx(cam[4:7]), rz @ ry @ rx,
+                               atol=1e-12)
+    local = transform_global_to_cam(gestures[0], cam)
+    expected = (gestures[0] - cam[1:4]) @ (rz @ ry @ rx @ np.diag([1., -1, -1]))
+    np.testing.assert_allclose(local, expected, atol=1e-9)
+    K = np.array([[cam[0], 0, 32.0], [0, cam[0], 32.0], [0, 0, 1.0]])
+    uv = cam_projection(local, K)
+    np.testing.assert_allclose(
+        uv, (local @ K.T)[:, :2] / (local @ K.T)[:, 2:3], atol=1e-9)
+
+
+def test_handgraph_keypoints_and_mesh_utils(tmp_path, rng):
+    from hrnet_hand_pose_estimation_tpu.data.handgraph import (
+        HandGraphDatasetKeypoints, cam_deprojection, get_mesh_tri_vertices,
+        load_mesh_from_obj)
+    from hrnet_hand_pose_estimation_tpu.data.transforms import build_transforms
+
+    _handgraph_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path)
+    ds = HandGraphDatasetKeypoints(cfg, "training",
+                                   transforms=build_transforms(cfg, False))
+    s = ds[0]
+    assert s["imgs"].shape == (64, 64, 3)
+    assert s["heatmaps"].shape == (16, 16, 21)
+    assert s["pose2d"].shape == (21, 2)
+
+    # deprojection inverts projection at the reference depth
+    K = np.array([[180.0, 0, 32.0], [0, 180.0, 32.0], [0, 0, 1.0]])
+    pts = rng.uniform(-30, 30, size=(5, 3)) + [0, 0, 500]
+    uv = (pts @ K.T)[:, :2] / (pts @ K.T)[:, 2:3]
+    rays = cam_deprojection(uv, K, z=pts[:, 2:3])
+    np.testing.assert_allclose(rays, pts, atol=1e-8)
+
+    # obj loader: cube with an "arm" vertex range stripped + face reindexing
+    obj = tmp_path / "hand.obj"
+    with open(obj, "w") as f:
+        for i in range(6):
+            f.write(f"v {i}.0 {i+1}.0 {i+2}.0\n")
+        for i in range(4):
+            f.write("vn 0.0 0.0 1.0\nvn 0.0 0.0 1.0\nvn 0.0 0.0 1.0\n")
+        f.write("f 1/1/1 2/2/2 3/3/3\n")    # touches arm range -> dropped
+        f.write("f 1/1/1 2/2/2 6/6/6\n")    # survives, vertex 6 reindexed
+    pts, vn, tri = load_mesh_from_obj(str(obj), arm_index_range=(2, 4))
+    assert pts.shape == (4, 3)              # 6 vertices minus arm range [2,4)
+    assert tri.shape == (1, 3)
+    np.testing.assert_array_equal(tri[0], [0, 1, 3])   # 5 -> 5-2 = 3
+    assert get_mesh_tri_vertices(pts, tri).shape == (1, 3, 3)
