@@ -136,7 +136,8 @@ def _pose_aggr(cfg):
     from .pose_aggr import PoseAggrNet
 
     return PoseAggrNet(
-        backbone=hrnet_from_cfg(cfg, head="softmax"),
+        # logits backbone: the reference softmaxes AFTER aggregation (:644-648)
+        backbone=hrnet_from_cfg(cfg, head="plain"),
         seq_len=len(list(cfg.DATASET.SEQ_IDX)),
         num_joints=int(cfg.MODEL.NUM_JOINTS),
         dilation_rates=tuple(int(d) for d in cfg.MODEL.DILATION_RATES),

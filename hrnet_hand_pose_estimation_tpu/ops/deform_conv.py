@@ -36,13 +36,20 @@ def deform_conv2d(
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
+    deformable_groups: int = 1,
 ) -> jax.Array:
-    """x: (B, H, W, Cin); offsets: (B, Ho, Wo, 2*kh*kw) ordered (dy, dx) per
-    tap row-major (the extension's layout); weight: (kh, kw, Cin, Cout);
-    mask: (B, Ho, Wo, kh*kw) for the modulated variant.
+    """x: (B, H, W, Cin); offsets: (B, Ho, Wo, G*2*kh*kw) ordered
+    (group, tap row-major, (dy, dx)) — the extension's layout; weight:
+    (kh, kw, Cin, Cout); mask: (B, Ho, Wo, G*kh*kw) for the modulated
+    variant.  ``deformable_groups`` splits the INPUT channels into G groups,
+    each sampled with its own offset field (reference
+    deformable_conv/functions/deform_conv.py; PoseAggr uses G=num_joints,
+    pose_hrnet_PoseAggr.py:381-385).
     """
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
+    g = deformable_groups
+    cg = cin // g
     ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
 
@@ -51,20 +58,29 @@ def deform_conv2d(
     grid_y = jnp.broadcast_to(base_y[:, None], (ho, wo))
     grid_x = jnp.broadcast_to(base_x[None, :], (ho, wo))
 
-    off = offsets.astype(jnp.float32).reshape(b, ho, wo, kh * kw, 2)
+    off = offsets.astype(jnp.float32).reshape(b, ho, wo, g, kh * kw, 2)
+    if mask is not None:
+        mask = mask.reshape(b, ho, wo, g, kh * kw)
+    # group-major batch fold: every (sample, group) pair samples independently
+    xg = (x.reshape(b, h, w, g, cg).transpose(0, 3, 1, 2, 4)
+          .reshape(b * g, h, w, cg))
+    wg = weight.reshape(kh, kw, g, cg, cout)
     out = jnp.zeros((b, ho, wo, cout), jnp.float32)
     for ki in range(kh):
         for kj in range(kw):
             tap = ki * kw + kj
-            py = grid_y + ki * dilation + off[..., tap, 0]
-            px = grid_x + kj * dilation + off[..., tap, 1]
-            coords = jnp.stack([px, py], axis=-1).reshape(b, ho * wo, 2)
-            sampled = bilinear_sample_nhwc(x, coords)          # (B, HoWo, Cin)
+            py = grid_y[None, None] + ki * dilation + off[..., tap, 0].transpose(0, 3, 1, 2)
+            px = grid_x[None, None] + kj * dilation + off[..., tap, 1].transpose(0, 3, 1, 2)
+            # py/px: (B, G, Ho, Wo) after the transpose above
+            coords = jnp.stack([px, py], axis=-1).reshape(b * g, ho * wo, 2)
+            sampled = bilinear_sample_nhwc(xg, coords)      # (BG, HoWo, Cg)
+            sampled = sampled.reshape(b, g, ho * wo, cg)
             if mask is not None:
-                sampled = sampled * mask[..., tap].reshape(b, ho * wo, 1)
+                sampled = sampled * mask[..., tap].transpose(0, 3, 1, 2).reshape(
+                    b, g, ho * wo, 1)
             out = out + jnp.einsum(
-                "bnc,co->bno", sampled.astype(jnp.float32),
-                weight[ki, kj].astype(jnp.float32),
+                "bgnc,gco->bno", sampled.astype(jnp.float32),
+                wg[ki, kj].astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST,
             ).reshape(b, ho, wo, cout)
     if bias is not None:
