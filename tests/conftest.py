@@ -22,6 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 # f32 matmuls/convs at full precision: parity tests compare against torch.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compilation cache: the suite is compile-bound (tiny-HRNet and
+# triangulation graphs take 10-170s to build); repeat runs hit the cache and
+# the fast subset drops to minutes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

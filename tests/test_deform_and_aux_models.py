@@ -98,6 +98,7 @@ def test_grouped_zero_offset_equals_conv(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grouped_offset_gradcheck(rng):
     """fp64-style numeric gradient through the grouped warp (mirrors
     deformable_conv/test.py:375 check_gradient_dconv)."""
@@ -115,6 +116,7 @@ def test_grouped_offset_gradcheck(rng):
 
 
 # ------------------------------------------------------------- aux models
+@pytest.mark.slow
 def test_pose_aggr_forward(tiny_cfg):
     from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
     from hrnet_hand_pose_estimation_tpu.models.pose_aggr import PoseAggrNet
@@ -216,6 +218,7 @@ def test_pose_aggr_training_improves_on_motion(tiny_cfg):
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
 
 
+@pytest.mark.slow
 def test_pose_transformer_forward(tiny_cfg):
     from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
     from hrnet_hand_pose_estimation_tpu.models.transformers import PoseTransformer
@@ -229,6 +232,7 @@ def test_pose_transformer_forward(tiny_cfg):
     assert out.pose2d_refined.shape == (2, 21, 2)
 
 
+@pytest.mark.slow
 def test_pooling_transformer_forward():
     from hrnet_hand_pose_estimation_tpu.models.transformers import PoolingTransformer
 
@@ -242,6 +246,7 @@ def test_pooling_transformer_forward():
     assert np.all(np.asarray(uv) >= 0) and np.all(np.asarray(uv) <= 16)
 
 
+@pytest.mark.slow
 def test_predrnn_forward(tiny_cfg):
     from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
     from hrnet_hand_pose_estimation_tpu.models.temporal import HRNetPredRNN
@@ -269,6 +274,7 @@ def test_tcn_forward(tiny_cfg):
     assert uv.shape == (1, 21, 2)
 
 
+@pytest.mark.slow
 def test_hamburger_forward(tiny_cfg):
     from hrnet_hand_pose_estimation_tpu.models.hamburger import hamburger_from_cfg
 

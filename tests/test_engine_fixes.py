@@ -67,6 +67,7 @@ def test_opt_state_scalars_replicated():
     assert counts, "expected at least one replicated scalar (adam count)"
 
 
+@pytest.mark.slow
 def test_eval_step_shards_batch(tiny_cfg):
     """make_eval_step(mesh) must produce outputs sharded over 'data'."""
     from hrnet_hand_pose_estimation_tpu.models import build_model
@@ -88,6 +89,7 @@ def test_eval_step_shards_batch(tiny_cfg):
         f"eval heatmaps not batch-sharded: {hm_sharding}")
 
 
+@pytest.mark.slow
 def test_trainer_meter_accumulates_every_iteration(tiny_cfg, tmp_path):
     """Epoch averages must reflect every batch, not a PRINT_FREQ subsample."""
     from hrnet_hand_pose_estimation_tpu.core.trainer import Trainer
@@ -112,6 +114,7 @@ def test_trainer_meter_accumulates_every_iteration(tiny_cfg, tmp_path):
     assert tr.train_global_steps == 4
 
 
+@pytest.mark.slow
 def test_evaluator_fps_short_loader(tiny_cfg):
     """fps must be > 0 when the loader has fewer than 21 batches."""
     from hrnet_hand_pose_estimation_tpu.core.evaluator import Evaluator2D

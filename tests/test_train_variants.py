@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hrnet_hand_pose_estimation_tpu.core.train_variants import (
     make_train_step_cpm,
@@ -23,6 +24,7 @@ def _state(model, tx, *init_args):
                       opt_state=tx.init(variables["params"]))
 
 
+@pytest.mark.slow
 def test_cpm_step(tiny_cfg):
     model = CPM(num_joints=21, dtype=jnp.float32)
     tx = make_optimizer(tiny_cfg, 10)
@@ -44,6 +46,7 @@ def test_cpm_step(tiny_cfg):
     assert float(losses2["total_loss"]) != float(losses["total_loss"])  # learning
 
 
+@pytest.mark.slow
 def test_mv_step(tiny_cfg):
     cfg = tiny_cfg
     model = MultiViewPoseNet(

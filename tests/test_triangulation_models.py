@@ -54,6 +54,7 @@ def _proj_matrices(b, v=2, hm=16):
     return jnp.broadcast_to(jnp.asarray(np.stack(projs)), (b, v, 3, 4))
 
 
+@pytest.mark.slow
 def test_v2v_shapes():
     model = V2VModel(out_channels=21, dtype=jnp.float32)
     x = jnp.zeros((1, 32, 32, 32, 32))
@@ -84,6 +85,7 @@ def test_ransac_net_forward(cfg3d):
     assert out.keypoints_3d.shape == (1, 21, 3)
 
 
+@pytest.mark.slow
 def test_vol_net_forward_and_grad(cfg3d):
     model = build_triangulation_net(cfg3d, "vol")
     imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
