@@ -19,6 +19,7 @@ jitted step.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, Optional
 
@@ -147,11 +148,29 @@ class Trainer:
 
         loss_computer = LossComputer2D(self.cfg)
         meter = AverageMeter()
+        debug_dumped = False
         for name, loader in self.val_loaders.items():
             it = device_prefetch(iter(loader), self.mesh, depth=2)
             for batch in it:
                 step_batch = _batch_for_step(batch)
                 out = self.eval_step(self.state, step_batch)
+                if self.cfg.DEBUG.DEBUG and not debug_dumped:
+                    # debug image grids (reference utils/vis.py:193-240 —
+                    # the reference's call sites are commented out; here the
+                    # first val batch per epoch is dumped under the run dir)
+                    from ..utils.vis import save_debug_images
+
+                    hm_scale = (step_batch["images"].shape[1]
+                                / out["heatmaps"].shape[1])
+                    save_debug_images(
+                        self.cfg, step_batch["images"],
+                        step_batch.get("pose2d") * hm_scale
+                        if step_batch.get("pose2d") is not None else None,
+                        out["pose2d_pred"] * hm_scale,
+                        step_batch.get("target_heatmaps"), out["heatmaps"],
+                        prefix=os.path.join(self.output_dir,
+                                            f"debug_e{epoch}_{name}"))
+                    debug_dumped = True
                 hm_gt = step_batch.get("target_heatmaps")
                 if (hm_gt is not None
                         and hm_gt.shape[-1] == out["heatmaps"].shape[-1] + 1):
