@@ -243,6 +243,11 @@ def default_config() -> ConfigNode:
     tpu.REMAT = False                  # jax.checkpoint the backbone stages
     tpu.PREFETCH = 2                   # device-prefetch depth for input batches
     tpu.SEED = 0
+    # anomaly guard (the reference trains under
+    # torch.autograd.set_detect_anomaly(True), tools/train.py:335): when on,
+    # non-finite gradients SKIP the optimizer update and are reported in the
+    # step metrics as 'nonfinite_grads'
+    tpu.DETECT_ANOMALY = True
     c.TPU = tpu
 
     return c

@@ -136,3 +136,47 @@ def test_evaluator_fps_short_loader(tiny_cfg):
     loaders = make_dataloader(cfg, is_train=False, n_devices=1)
     results = ev.run(next(iter(loaders.values())), "Synthetic")
     assert results["fps"] > 0.0
+
+
+@pytest.mark.slow
+def test_anomaly_guard_skips_nonfinite_step(tiny_cfg):
+    """TPU.DETECT_ANOMALY (the reference trains under
+    set_detect_anomaly(True), tools/train.py:335): a NaN batch must leave
+    params and BN stats untouched and raise the nonfinite_grads flag."""
+    import numpy as np
+
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+    from hrnet_hand_pose_estimation_tpu.parallel.train_step import (
+        create_train_state, make_train_step)
+
+    cfg = tiny_cfg
+    model = build_model(cfg)
+    B = 2
+    good = {
+        "images": jnp.ones((B, 64, 64, 3), jnp.float32) * 0.1,
+        "target_heatmaps": jnp.ones((B, 16, 16, 21), jnp.float32) * 0.01,
+        "pose2d": jnp.ones((B, 21, 2), jnp.float32) * 4,
+        "visibility": jnp.ones((B, 21), jnp.float32),
+    }
+    state, tx = create_train_state(cfg, model, jax.random.key(0), good)
+    step = make_train_step(cfg, model, tx)
+
+    bad = dict(good)
+    bad["images"] = good["images"].at[0, 0, 0, 0].set(jnp.nan)
+    before = jax.tree.map(np.asarray, state.params)
+    stats_before = jax.tree.map(np.asarray, state.batch_stats)
+    state2, metrics = step(state, bad)
+    assert float(metrics["nonfinite_grads"]) == 1.0
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(jax.tree.leaves(stats_before),
+                    jax.tree.leaves(state2.batch_stats)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # a clean batch still trains (flag 0, params move)
+    state3, metrics = step(state2, good)
+    assert float(metrics["nonfinite_grads"]) == 0.0
+    moved = any(not np.array_equal(a, np.asarray(b))
+                for a, b in zip(jax.tree.leaves(before),
+                                jax.tree.leaves(state3.params)))
+    assert moved
