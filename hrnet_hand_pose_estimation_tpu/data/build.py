@@ -60,7 +60,8 @@ def _lazy_registry() -> Dict[str, Callable]:
         MHPMultiViewDataset,
         MHPSeqDataset,
     )
-    from .rhd import RHDDataset, RHDDatasetKeypoints
+    from .rhd import (RHDDataset, RHDDatasetKeypoints,
+                      RHDFullFrameDataset, RHDFullFrameDatasetKeypoints)
     from .stb import STBDataset
     from .synthetic import SyntheticDataset, SyntheticMultiViewDataset
 
@@ -73,6 +74,9 @@ def _lazy_registry() -> Dict[str, Callable]:
     _DATASETS.update({
         # keypoint datasets (cfg, subset, heatmap_generator, transforms)
         "RHD_kpt": RHDDatasetKeypoints,
+        # full-frame variant (reference *_twohands readers' live path)
+        "RHD_twohands_kpt": RHDFullFrameDatasetKeypoints,
+        "RHD_fullframe_kpt": RHDFullFrameDatasetKeypoints,
         "Frei_kpt": FreiHandDatasetKeypoints,
         "FreiHand_kpt": FreiHandDatasetKeypoints,
         "MHP_kpt": MHPDatasetKeypoints,
@@ -96,6 +100,7 @@ def _lazy_registry() -> Dict[str, Callable]:
             float(cfg.MODEL.SIGMA)),
         # raw eval datasets (reference evaluate_2D.py uses the non-kpt class)
         "RHD": raw(RHDDataset),
+        "RHD_twohands": raw(RHDFullFrameDataset),
         "Frei": raw(FreiHandDataset),
         "FreiHand": raw(FreiHandDataset),
         "MHP": raw(MHPDataset),

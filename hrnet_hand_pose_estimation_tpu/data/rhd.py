@@ -120,3 +120,35 @@ class RHDDatasetKeypoints(RHDDataset):
             "corner": corner.astype(np.float32),
             "crop_size": np.float32(crop_size),
         }
+
+
+class RHDFullFrameDataset(RHDDataset):
+    """Full-frame RHD variant (reference RHDDataset_twohands.py:36-96 /
+    RHDDatasetKeypoints_twohands.py:110-124).
+
+    Despite the filename, the live code path of the reference's *_twohands
+    readers returns the UNCROPPED 320x320 frame with the more-visible hand's
+    21 joints in original image coordinates (the actual two-hand annotation
+    branches are commented out upstream); it exists for full-frame training
+    experiments.  Joint order follows the same standard-legend reorder."""
+
+    def _load_raw(self, idx: int):
+        img_path = os.path.join(self.data_dir, "color", self.images[idx])
+        img = cv2.imread(img_path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        orig_img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+        uv_vis = np.asarray(self.anno_all[idx]["uv_vis"])
+        # the more-visible hand, full-frame coords (twohands getitem :79-88)
+        if uv_vis[0:21, 2].sum() >= uv_vis[21:42, 2].sum():
+            joints = uv_vis[0:21]
+        else:
+            joints = uv_vis[21:42]
+        pose2d = joints[:, :2]
+        vis = (joints[:, 2:] == 1).astype(np.float32)
+        corner = np.zeros(2)
+        return orig_img, orig_img, pose2d, vis, corner, np.float32(img.shape[1])
+
+
+class RHDFullFrameDatasetKeypoints(RHDDatasetKeypoints, RHDFullFrameDataset):
+    """Transform chain + heatmaps over the full frame (the *_twohands
+    keypoint subclass, RHDDatasetKeypoints_twohands.py:110-124)."""

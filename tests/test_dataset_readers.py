@@ -498,3 +498,41 @@ def test_handgraph_keypoints_and_mesh_utils(tmp_path, rng):
     assert tri.shape == (1, 3)
     np.testing.assert_array_equal(tri[0], [0, 1, 3])   # 5 -> 5-2 = 3
     assert get_mesh_tri_vertices(pts, tri).shape == (1, 3, 3)
+
+
+def test_rhd_fullframe_variant(tmp_path, rng):
+    """The *_twohands readers' live path: full frame, more-visible hand,
+    original-image coordinates (RHDDataset_twohands.py:63-96)."""
+    from hrnet_hand_pose_estimation_tpu.data.legends import IDX_RHD
+    from hrnet_hand_pose_estimation_tpu.data.rhd import (
+        RHDFullFrameDataset, RHDFullFrameDatasetKeypoints)
+
+    root = tmp_path / "RHD" / "training"
+    n = 2
+    anno = {}
+    for i in range(n):
+        _img(str(root / "color" / f"{i:05d}.png"), size=64, seed=i)
+        uv = np.zeros((42, 3), np.float32)
+        uv[0:21, 0] = rng.uniform(10, 54, 21)
+        uv[0:21, 1] = rng.uniform(10, 54, 21)
+        uv[0:21, 2] = 1.0
+        uv[21:42, 2] = 0.0
+        anno[i] = {"uv_vis": uv}
+    with open(root / "anno_training.pickle", "wb") as f:
+        pickle.dump(anno, f)
+
+    ds = RHDFullFrameDataset(str(tmp_path), "training")
+    s = ds[0]
+    # no crop: original coordinates, corner (0,0), crop_size = frame width
+    np.testing.assert_allclose(
+        s["pose2d"], anno[0]["uv_vis"][0:21, :2][IDX_RHD], atol=1e-5)
+    np.testing.assert_allclose(s["corner"], [0, 0])
+    assert float(s["crop_size"]) == 64.0
+    assert s["imgs"].shape == (64, 64, 3)
+
+    cfg = _cfg(tmp_path)
+    kp = RHDFullFrameDatasetKeypoints(cfg, "training",
+                                      transforms=HandTransforms(64, [16]))
+    sk = kp[0]
+    assert sk["heatmaps"].shape == (16, 16, 21)
+    assert sk["imgs"].shape == (64, 64, 3)
