@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops.decode import decode_heatmaps, spatial_softmax
-from ..parallel.train_step import TrainState, make_train_step
+from ..parallel.train_step import TrainState, apply_guarded_update, make_train_step
 from .loss_computer import LossComputer2D
 from . import losses as L
 
@@ -43,10 +43,7 @@ def make_train_step_cpm(cfg, model, tx) -> Callable:
             return total, (mutated["batch_stats"], {"total_loss": total})
 
         grads, (stats, loss_dict) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        return (TrainState(step=state.step + 1,
-                           params=optax.apply_updates(state.params, updates),
-                           batch_stats=stats, opt_state=new_opt), loss_dict)
+        return apply_guarded_update(cfg, tx, state, grads, stats, loss_dict)
 
     return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -81,10 +78,7 @@ def make_train_step_mv(cfg, model, tx) -> Callable:
             return total, (mutated["batch_stats"], loss_dict)
 
         grads, (stats, loss_dict) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        return (TrainState(step=state.step + 1,
-                           params=optax.apply_updates(state.params, updates),
-                           batch_stats=stats, opt_state=new_opt), loss_dict)
+        return apply_guarded_update(cfg, tx, state, grads, stats, loss_dict)
 
     return jax.jit(step_fn, donate_argnums=(0,))
 

@@ -148,28 +148,11 @@ def make_train_step_3d(cfg, model, tx, orig_size: Tuple[int, int]):
             return total, (mutated["batch_stats"], loss_dict)
 
         grads, (new_stats, loss_dict) = jax.grad(loss_fn, has_aux=True)(state.params)
-        if bool(cfg.TPU.DETECT_ANOMALY) if "TPU" in cfg else False:
-            # same anomaly guard as the 2D step (reference train3D.py:342
-            # also runs under set_detect_anomaly(True))
-            finite = jnp.all(jnp.asarray(
-                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
-            grads = jax.tree.map(
-                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-            new_stats = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old),
-                new_stats, state.batch_stats)
-            loss_dict["nonfinite_grads"] = 1.0 - finite.astype(jnp.float32)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            updates = jax.tree.map(
-                lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
-            new_opt = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old),
-                new_opt, state.opt_state)
-        else:
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(step=state.step + 1, params=new_params,
-                          batch_stats=new_stats, opt_state=new_opt), loss_dict
+        # same anomaly guard as the 2D step (reference train3D.py:342 also
+        # runs under set_detect_anomaly(True))
+        from ..parallel.train_step import apply_guarded_update
+
+        return apply_guarded_update(cfg, tx, state, grads, new_stats, loss_dict)
 
     return jax.jit(step_fn, donate_argnums=(0,))
 

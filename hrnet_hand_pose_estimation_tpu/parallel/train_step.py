@@ -125,6 +125,39 @@ def state_shardings(mesh, state: TrainState):
     )
 
 
+def apply_guarded_update(cfg, tx, state: TrainState, grads, new_stats,
+                         loss_dict) -> Tuple[TrainState, Dict]:
+    """Optimizer update with the TPU.DETECT_ANOMALY finite guard.
+
+    Anomaly guard (the reference runs under set_detect_anomaly(True),
+    tools/train.py:335, train3D.py:342): a non-finite gradient fully SKIPS
+    the step — zero parameter delta, optimizer moments and BN running stats
+    kept — and is surfaced as loss_dict['nonfinite_grads'].
+    """
+    detect = bool(cfg.TPU.DETECT_ANOMALY) if "TPU" in cfg else False
+    if detect:
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        # the poisoned batch must not leak into the running BN stats either
+        new_stats = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_stats, state.batch_stats)
+        loss_dict = dict(loss_dict)
+        loss_dict["nonfinite_grads"] = 1.0 - finite.astype(jnp.float32)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    if detect:
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        new_opt = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_opt, state.opt_state)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(step=state.step + 1, params=new_params,
+                      batch_stats=new_stats, opt_state=new_opt), loss_dict
+
+
 def make_train_step(cfg, model, tx, mesh=None) -> Callable:
     """Build the jitted 2D train step.
 
@@ -133,7 +166,6 @@ def make_train_step(cfg, model, tx, mesh=None) -> Callable:
     """
     loss_computer = LossComputer2D(cfg)
     use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
-    detect_anomaly = bool(cfg.TPU.DETECT_ANOMALY) if "TPU" in cfg else False
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         def loss_fn(params):
@@ -154,32 +186,7 @@ def make_train_step(cfg, model, tx, mesh=None) -> Callable:
             return total, (mutated["batch_stats"], loss_dict)
 
         grads, (new_stats, loss_dict) = jax.grad(loss_fn, has_aux=True)(state.params)
-        if detect_anomaly:
-            # anomaly guard (reference runs under set_detect_anomaly(True),
-            # tools/train.py:335): a non-finite gradient zeroes the update
-            # instead of corrupting the parameters, and is surfaced in the
-            # metrics so the trainer's logs show it
-            finite = jnp.all(jnp.asarray(
-                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
-            grads = jax.tree.map(
-                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-            # the poisoned batch must not leak into the running BN stats either
-            new_stats = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old),
-                new_stats, state.batch_stats)
-            loss_dict["nonfinite_grads"] = 1.0 - finite.astype(jnp.float32)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        if detect_anomaly:
-            # fully skip the step: no parameter delta, no moment decay
-            updates = jax.tree.map(
-                lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
-            new_opt = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old),
-                new_opt, state.opt_state)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=new_params,
-                               batch_stats=new_stats, opt_state=new_opt)
-        return new_state, loss_dict
+        return apply_guarded_update(cfg, tx, state, grads, new_stats, loss_dict)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))

@@ -99,18 +99,24 @@ def test_grouped_zero_offset_equals_conv(rng):
 
 
 @pytest.mark.slow
-def test_grouped_offset_gradcheck(rng):
-    """fp64-style numeric gradient through the grouped warp (mirrors
-    deformable_conv/test.py:375 check_gradient_dconv)."""
-    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(3, 3, 4, 2)).astype(np.float32))
+def test_grouped_offset_gradcheck():
+    """Numeric gradient through the grouped warp (mirrors
+    deformable_conv/test.py:375 check_gradient_dconv).  Hermetic rng (the
+    shared session fixture's stream depends on which tests ran before);
+    eps=1e-2 keeps the central difference well above f32 cancellation noise
+    in the big sum-of-squares while staying inside one bilinear cell
+    (offsets 0.3 +- 0.01 cross no integer coordinate, so the objective is
+    exactly linear over the probe interval)."""
+    local = np.random.default_rng(42)
+    x = jnp.asarray(local.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray(local.normal(size=(3, 3, 4, 2)).astype(np.float32))
     off0 = jnp.full((1, 8, 8, 2 * 18), 0.3)
 
     f = lambda off: jnp.sum(deform_conv2d(x, off, w, padding=1,
                                           deformable_groups=2) ** 2)
     g = jax.grad(f)(off0)
     idx = (0, 4, 4, 7)
-    eps = 1e-3
+    eps = 1e-2
     num = (float(f(off0.at[idx].add(eps))) - float(f(off0.at[idx].add(-eps)))) / (2 * eps)
     np.testing.assert_allclose(float(g[idx]), num, rtol=2e-2, atol=1e-3)
 
