@@ -104,6 +104,10 @@ def _lazy_registry() -> Dict[str, Callable]:
         "Frei": raw(FreiHandDataset),
         "FreiHand": raw(FreiHandDataset),
         "MHP": raw(MHPDataset),
+        # reference PanopticDataset.py:22 is a verbatim copy of the MHP
+        # class (still named MHPDataset inside); alias, not a port
+        "Panoptic": raw(MHPDataset),
+        "Panoptic_kpt": MHPDatasetKeypoints,
         "STB": raw(STBDataset),
         "Synthetic": lambda cfg, subset, hm, tr: SyntheticDataset(cfg, subset, hm, tr),
     })
