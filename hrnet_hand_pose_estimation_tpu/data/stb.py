@@ -46,11 +46,16 @@ def depth_to_color(pose: np.ndarray) -> np.ndarray:
 
 
 def palm_to_wrist(pose: np.ndarray) -> np.ndarray:
-    """Replace palm centre with an extrapolated wrist
-    (reference palm2wrist: wrist = root + 2.2*(root - middle_palm))."""
-    root, mid = 0, 9
+    """Replace palm centre with an extrapolated wrist.
+
+    Reference palm2wrist (STB_dataset.py:190-195):
+    ``wrist = ring_root + 2.0 * (palm - ring_root)`` where ``ring_root`` is
+    ``loc_bn_ring_L_01`` = index 13 in SNAP order (applied AFTER the
+    STB->Snap joint remap).
+    """
+    root, ring_root = 0, 13
     out = pose.copy()
-    out[:, root] = pose[:, mid] + 2.2 * (pose[:, root] - pose[:, mid])
+    out[:, root] = pose[:, ring_root] + 2.0 * (pose[:, root] - pose[:, ring_root])
     return out
 
 
@@ -72,13 +77,20 @@ class STBDataset:
             mat = sio.loadmat(osp.join(ann_dir, f"{seq}_SK.mat"))
             pose = mat["handPara"].transpose(2, 1, 0)      # N x 21 x 3 (depth frame)
             pose = depth_to_color(pose)
-            pose = pose[:, STB_TO_STD, :]
+            # Snap joint order, then mm->cm, then wrist extrapolation — the
+            # reference's exact pipeline order (STB_dataset.py:152-155)
+            pose = pose[:, STB_TO_STD, :] / 10.0
             pose = palm_to_wrist(pose)
             gts.append(pose.astype(np.float32))
             for i in range(pose.shape[0]):
                 self.image_paths.append(
                     osp.join(image_root, seq, f"{image_prefix}_{i}.png"))
         self.pose_gts = np.concatenate(gts, axis=0)
+        # reference STB_dataset.py:156-160: wrist root + reference-bone scale
+        # (|mid_L_02 - mid_L_01|, Snap indices 10/9) per frame
+        self.pose_roots = self.pose_gts[:, 0, :]
+        self.pose_scales = np.linalg.norm(
+            self.pose_gts[:, 10, :] - self.pose_gts[:, 9, :], axis=1)
         self.K = np.array([
             [SK_FX_COLOR, 0, SK_TX_COLOR],
             [0, SK_FY_COLOR, SK_TY_COLOR],

@@ -389,6 +389,47 @@ def test_stb_reader_roundtrip(tmp_path, rng):
     uvw = (ds.K @ s["pose3d"].T).T
     np.testing.assert_allclose(s["pose2d"], uvw[:, :2] / uvw[:, 2:3], atol=1e-3)
 
+    # --- golden check: transliteration of the reference's GT pipeline
+    # (STB_dataset.py:85-100 SK_rot_mx, 184-195 SK_xyz_depth2color/palm2wrist,
+    #  152-155 pipeline order: depth2color -> Snap remap -> /10 -> palm2wrist)
+    import math
+    import numpy.linalg as LA
+
+    def ref_sk_rot_mx(rot_vec):
+        theta = LA.norm(rot_vec)
+        v = np.array(rot_vec) * math.sin(theta / 2.0) / theta
+        a = math.cos(theta / 2.0)
+        b, c, d = -v
+        return np.array(
+            [[a*a+b*b-c*c-d*d, 2*(b*c+a*d), 2*(b*d-a*c)],
+             [2*(b*c-a*d), a*a+c*c-b*b-d*d, 2*(c*d+a*b)],
+             [2*(b*d+a*c), 2*(c*d-a*b), a*a+d*d-b*b-c*c]])
+
+    stb_joints = ['loc_bn_palm_L'] + [
+        f'loc_bn_{f}_L_{i:02d}'
+        for f in ('pinky', 'ring', 'mid', 'index', 'thumb') for i in range(1, 5)]
+    snap_joints = ['loc_bn_palm_L'] + [
+        f'loc_bn_{f}_L_{i:02d}'
+        for f in ('thumb', 'index', 'mid', 'ring', 'pinky') for i in range(1, 5)]
+    snap_id = {w: i for i, w in enumerate(snap_joints)}
+    stb_to_snap = [snap_id[j] for j in stb_joints]
+
+    rot = ref_sk_rot_mx([0.00531, -0.01196, 0.00301])
+    trans = [-24.0381, -0.4563, -1.2326]
+    golden = pose.transpose(2, 1, 0)                       # N x 21 x 3 depth
+    golden = (golden - np.tile(trans, [n, 21, 1])).dot(rot)
+    golden = golden[:, stb_to_snap, :] / 10.0              # Snap order, cm
+    root_id, ring_id = snap_id['loc_bn_palm_L'], snap_id['loc_bn_ring_L_01']
+    golden[:, root_id, :] = golden[:, ring_id, :] + \
+        2.0 * (golden[:, root_id, :] - golden[:, ring_id, :])
+    np.testing.assert_allclose(ds.pose_gts, golden, rtol=1e-5, atol=1e-4)
+    # roots and reference-bone scales (STB_dataset.py:156-160, 198-204)
+    np.testing.assert_allclose(ds.pose_roots, golden[:, root_id, :], rtol=1e-5)
+    scale = np.linalg.norm(
+        golden[:, snap_id['loc_bn_mid_L_02']] - golden[:, snap_id['loc_bn_mid_L_01']],
+        axis=1)
+    np.testing.assert_allclose(ds.pose_scales, scale, rtol=1e-5)
+
 
 # -------------------------------------------------------------- HandGraph
 def _handgraph_fixture(tmp_path, rng, n_poses=2, n_cams=2):
