@@ -61,14 +61,29 @@ class DataLoader:
         self.epoch = int(epoch)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._host_count()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _host_count(self) -> int:
+        """Samples this host iterates (its DistributedSampler-style share)."""
+        n = len(self.dataset)
+        import jax
+
+        n_proc = jax.process_count()
+        return n if n_proc == 1 else n // n_proc
+
     def _index_order(self) -> np.ndarray:
+        """Epoch-seeded global order, then this host's disjoint slice.
+
+        The global shuffle is seeded identically on every host (the seed is
+        (self.seed, epoch), independent of process index), so the per-host
+        slices partition the epoch exactly like the reference's
+        DistributedSampler (lib/dataset/build.py:78-83).
+        """
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
-        return idx
+        return host_local_slice(idx)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._index_order()
