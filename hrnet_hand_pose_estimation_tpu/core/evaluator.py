@@ -30,14 +30,29 @@ class Evaluator2D:
         self.cfg = cfg
         self.model = model
         self.variables = variables
+        self.mesh = mesh
         use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
 
-        @jax.jit
         def forward(variables, images):
             out = model.apply(variables, images, False)
             return out.heatmaps, decode_heatmaps(out.heatmaps, use_softmax)
 
-        self.forward = forward
+        if mesh is None:
+            self.forward = jax.jit(forward)
+            self._put_images = jnp.asarray
+        else:
+            # data-parallel eval over the mesh (the reference evaluates under
+            # DataParallel, tools/evaluate_2D.py:176-231): variables follow
+            # param_shardings (TP-aware), batches shard along 'data'
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import param_shardings
+
+            var_sh = param_shardings(mesh, variables)
+            self.variables = jax.device_put(variables, var_sh)
+            img_sh = NamedSharding(mesh, P("data", None, None, None))
+            self.forward = jax.jit(forward, in_shardings=(var_sh, img_sh))
+            self._put_images = lambda x: jax.device_put(np.asarray(x), img_sh)
         self.thresholds = default_thresholds_2d()
 
     def run(self, loader, dataset_name: str = "", output_dir: Optional[str] = None
@@ -59,7 +74,7 @@ class Evaluator2D:
 
         infer_time = [0, 0.0]
         for i, batch in enumerate(loader):
-            images = jnp.asarray(batch["imgs"])
+            images = self._put_images(batch["imgs"])
             t0 = time.time()
             heatmaps, pose2d_pred = self.forward(self.variables, images)
             pose2d_pred = np.asarray(pose2d_pred)

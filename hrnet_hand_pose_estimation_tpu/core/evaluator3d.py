@@ -31,12 +31,13 @@ from .metrics import (
 
 
 class Evaluator3D:
-    def __init__(self, cfg, model, variables, mode: str = "model"):
+    def __init__(self, cfg, model, variables, mode: str = "model", mesh=None):
         """mode: 'model' (alg/ransac/vol nets) or 'dlt' (2D backbone + DLT)."""
         self.cfg = cfg
         self.model = model
         self.variables = variables
         self.mode = mode
+        self.mesh = mesh
         self.kind = str(cfg.MODEL.TRIANGULATION_MODEL_NAME)
         self.th2d = default_thresholds_2d()
         self.th3d = default_thresholds_3d()
@@ -44,7 +45,6 @@ class Evaluator3D:
         hm = int(cfg.MODEL.HEATMAP_SIZE[0])
 
         if mode == "dlt":
-            @jax.jit
             def forward(variables, images, proj):
                 b, v = images.shape[:2]
                 flat = images.reshape(-1, *images.shape[2:])
@@ -52,13 +52,41 @@ class Evaluator3D:
                 kp2d = decode_heatmaps(out.heatmaps, use_softmax)
                 kp2d = kp2d.reshape(b, v, -1, 2)
                 return kp2d, None
-            self.forward = forward
         else:
-            @jax.jit
             def forward(variables, images, proj):
                 out = model.apply(variables, images, proj, False)
                 return out.keypoints_2d, out.keypoints_3d
-            self.forward = forward
+
+        if mesh is None:
+            self.forward = jax.jit(forward)
+            self._put = lambda x: jnp.asarray(x)
+        else:
+            # data-parallel multi-view eval over the mesh: batch axis 0 of
+            # both (B,V,H,W,3) images and (B,V,3,4) projections shards over
+            # 'data'; variables follow param_shardings (TP-aware)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import param_shardings
+
+            var_sh = param_shardings(mesh, variables)
+            self.variables = jax.device_put(variables, var_sh)
+
+            def data_sh(x):
+                return NamedSharding(mesh, P(*(["data"] + [None] * (x.ndim - 1))))
+
+            # jit lazily: in_shardings need the concrete batch ranks
+            self._jit_cache = {}
+            base_forward = forward
+
+            def sharded_forward(variables, images, proj):
+                if "fn" not in self._jit_cache:
+                    self._jit_cache["fn"] = jax.jit(
+                        base_forward,
+                        in_shardings=(var_sh, data_sh(images), data_sh(proj)))
+                return self._jit_cache["fn"](variables, images, proj)
+
+            self.forward = sharded_forward
+            self._put = lambda x: jax.device_put(np.asarray(x), data_sh(np.asarray(x)))
 
     def _projections(self, batch, orig_size):
         K = jnp.asarray(batch["intrinsic_matrix"])
@@ -79,7 +107,7 @@ class Evaluator3D:
         m3d = PoseMetricState.create(n_joints, self.th3d)
 
         for batch in loader:
-            images = jnp.asarray(batch["imgs"])
+            images = self._put(batch["imgs"])
             if views is not None:
                 sel = np.asarray(views)
                 images = images[:, sel]

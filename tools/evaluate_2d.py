@@ -42,7 +42,16 @@ def main() -> None:
         variables = jax.jit(model.init, static_argnums=(2,))(
             jax.random.key(0), jnp.asarray(sample["imgs"][:1]), False)
 
-    evaluator = Evaluator2D(cfg, model, variables)
+    # multi-device eval runs data-parallel over the same mesh the trainer
+    # would use (reference eval wraps the model in DataParallel,
+    # tools/evaluate_2D.py:176-231)
+    from hrnet_hand_pose_estimation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(tuple(cfg.TPU.MESH_AXES), tuple(cfg.TPU.MESH_SHAPE))
+    if mesh.size == 1:
+        mesh = None
+
+    evaluator = Evaluator2D(cfg, model, variables, mesh=mesh)
     results = evaluator.run(loader, dataset_name=name, output_dir=args.out)
     print(json.dumps(results, indent=2))
 

@@ -62,7 +62,13 @@ def main() -> None:
                 {"params": jax.random.key(0), "aug": jax.random.key(1)},
                 images, proj, False)
 
-    ev = Evaluator3D(cfg, model, variables, mode=mode)
+    from hrnet_hand_pose_estimation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(tuple(cfg.TPU.MESH_AXES), tuple(cfg.TPU.MESH_SHAPE))
+    if mesh.size == 1:
+        mesh = None
+
+    ev = Evaluator3D(cfg, model, variables, mode=mode, mesh=mesh)
     results = ev.run(loader, views=args.views, output_dir=args.out)
     print(json.dumps(results, indent=2))
 
