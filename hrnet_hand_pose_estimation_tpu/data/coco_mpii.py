@@ -184,7 +184,12 @@ class COCOKeypointsDataset:
         n_gt = sum(len(v) for v in gts_by_image.values())
         if n_gt == 0 or not dets:
             return 0.0
-        sig = np.asarray(COCO_SIGMAS, np.float32)[: self.num_joints]
+        # COCO_SIGMAS has 17 entries; for other joint counts fall back to a
+        # constant sigma exactly like ops.nms.oks_matrix does
+        if self.num_joints == len(COCO_SIGMAS):
+            sig = np.asarray(COCO_SIGMAS, np.float32)
+        else:
+            sig = np.full((self.num_joints,), 0.05, np.float32)
         var = (2 * sig) ** 2
         aps = []
         for t in thresholds:

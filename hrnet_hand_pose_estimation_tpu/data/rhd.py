@@ -138,8 +138,10 @@ class RHDFullFrameDataset(RHDDataset):
         orig_img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
         uv_vis = np.asarray(self.anno_all[idx]["uv_vis"])
-        # the more-visible hand, full-frame coords (twohands getitem :79-88)
-        if uv_vis[0:21, 2].sum() >= uv_vis[21:42, 2].sum():
+        # the more-visible hand, full-frame coords (twohands getitem :78-86);
+        # strict > — unlike the cropped reader, the reference's twohands
+        # variant picks the RIGHT hand on visibility ties
+        if uv_vis[0:21, 2].sum() > uv_vis[21:42, 2].sum():
             joints = uv_vis[0:21]
         else:
             joints = uv_vis[21:42]

@@ -157,18 +157,20 @@ def _stem_layer1_kernel(x_ref, ws1_ref, bs1_ref, ws2_ref, bs2_ref, *refs,
     taps_ref = refs[-1]   # scratch (9, 4096, 64) bf16
     param_refs = refs[:-2]
 
-    x = x_ref[0]                                      # (128, 128, 12) bf16
+    x = x_ref[0]                                      # (HS, WS, 12) bf16
+    hs, ws = x.shape[0], x.shape[1]                   # H/2, W/2 (s2d blocks)
+    ho, wo = hs // 2, ws // 2                         # layer1 resolution
     # stem1: 2x2/s1 conv, pad ((1,0),(1,0)) on the s2d tensor.  Accumulated
     # as 4 small matmuls (a lane concat of the shifted slices trips Mosaic's
     # offset-mismatch check; at K=12 the concat isn't worth fighting for).
     xp = jnp.pad(x, ((1, 0), (1, 0), (0, 0)))
     y1 = None
     for i, (di, dj) in enumerate((a, b) for a in range(2) for b in range(2)):
-        piece = xp[di:di + 128, dj:dj + 128, :].reshape(128 * 128, 12)
+        piece = xp[di:di + hs, dj:dj + ws, :].reshape(hs * ws, 12)
         part = jnp.dot(piece, ws1_ref[i], preferred_element_type=jnp.float32)
         y1 = part if y1 is None else y1 + part
     y1 = jnp.maximum(y1 + bs1_ref[...], 0.0).astype(jnp.bfloat16)
-    y1 = y1.reshape(128, 128, 64)
+    y1 = y1.reshape(hs, ws, 64)
 
     # stem2: 3x3/s2 conv via parity planes.  out(i,j) tap (kh,kw) reads
     # y1[2i-1+kh, 2j-1+kw]: row parity p=(kh+1)%2, block shift -1 iff kh==0.
@@ -176,11 +178,11 @@ def _stem_layer1_kernel(x_ref, ws1_ref, bs1_ref, ws2_ref, bs2_ref, *refs,
     # mismatched vector-padding offsets that Mosaic cannot concat directly;
     # a store+load round-trip through the scratch canonicalises the layout.
     planes = {}
-    rowview = y1.reshape(64, 2, 128, 64)
+    rowview = y1.reshape(ho, 2, ws, 64)
     for r in range(2):
-        rp = rowview[:, r].reshape(64, 64, 2, 64)
+        rp = rowview[:, r].reshape(ho, wo, 2, 64)
         for c in range(2):
-            planes[(r, c)] = rp[:, :, c]              # (64, 64, 64)
+            planes[(r, c)] = rp[:, :, c]              # (ho, wo, 64)
 
     for i, (kh, kw) in enumerate((a, b) for a in range(3) for b in range(3)):
         p = planes[((kh + 1) % 2, (kw + 1) % 2)]
@@ -188,12 +190,12 @@ def _stem_layer1_kernel(x_ref, ws1_ref, bs1_ref, ws2_ref, bs2_ref, *refs,
             p = jnp.pad(p[:-1], ((1, 0), (0, 0), (0, 0)))
         if kw == 0:
             p = jnp.pad(p[:, :-1], ((0, 0), (1, 0), (0, 0)))
-        taps_ref[i] = p.reshape(64 * 64, 64)
+        taps_ref[i] = p.reshape(ho * wo, 64)
 
     cols2 = jnp.concatenate([taps_ref[i] for i in range(9)], axis=1)
     y2 = jnp.dot(cols2, ws2_ref[...], preferred_element_type=jnp.float32)
     y2 = jnp.maximum(y2 + bs2_ref[...], 0.0).astype(jnp.bfloat16)
-    y2 = y2.reshape(64, 64, 64)
+    y2 = y2.reshape(ho, wo, 64)
 
     idx = 0
     for b in range(n_blocks):
@@ -222,10 +224,11 @@ def fused_stem_layer1(x_s2d: jax.Array, stem_flat: Tuple[jax.Array, ...],
     (3,3,64,64)->(576,64).
     ``params_flat``: layer1 blocks as in ``fused_bottleneck_chain``.
     """
-    b = x_s2d.shape[0]
+    b, hs, ws = x_s2d.shape[0], x_s2d.shape[1], x_s2d.shape[2]
+    ho, wo = hs // 2, ws // 2
     kernel = partial(_stem_layer1_kernel, n_blocks=len(shortcut_flags),
                      shortcut_flags=tuple(shortcut_flags))
-    in_specs = [pl.BlockSpec((1, 128, 128, 12), lambda i: (i, 0, 0, 0),
+    in_specs = [pl.BlockSpec((1, hs, ws, 12), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
                  for _ in range(4 + len(params_flat))]
@@ -233,10 +236,10 @@ def fused_stem_layer1(x_s2d: jax.Array, stem_flat: Tuple[jax.Array, ...],
         kernel,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 64, 64, out_channels), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, ho, wo, out_channels), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 64, 64, out_channels), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((9, 64 * 64, 64), jnp.bfloat16)],
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, out_channels), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((9, ho * wo, 64), jnp.bfloat16)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -193,7 +193,11 @@ def _kernel_v2(temp_ref, x0_ref, x1_ref, x2_ref, x3_ref,
         logits = (logits + bfinal_ref[...][None, :]) * temp_ref[0]  # (HW, 128pad)
 
         m = jnp.max(logits, axis=0, keepdims=True)
-        e = jnp.exp(logits - m)      # padded cols: exp(large negative) = 0
+        # pad cols hold a constant -1e30*temp: after per-column max
+        # subtraction their exp() is 1 (constant - its own max = 0), i.e.
+        # pad columns carry garbage — correctness relies on the caller
+        # slicing them off, never on them being zero
+        e = jnp.exp(logits - m)
         s = jnp.sum(e, axis=0)
         hw = logits.shape[0]
         idx = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)

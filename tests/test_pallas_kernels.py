@@ -183,3 +183,20 @@ def test_s2d_stem_end_to_end_pipeline(tiny_cfg, rng):
                                    s2d_stem=True)(v, x))
     assert a.shape == b.shape == (2, 21, 2)
     np.testing.assert_allclose(a, b, atol=0.5)
+
+
+def test_fused_stem_layer1_end_to_end_pipeline(tiny_cfg, rng):
+    """make_fast_infer(fuse_stem_layer1=True) (the whole-stem+layer1 Pallas
+    kernel) matches the standard fast path end to end in interpret mode —
+    same parity contract as the s2d test above."""
+    from hrnet_hand_pose_estimation_tpu.core.fast_infer import make_fast_infer
+    from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
+
+    std = hrnet_from_cfg(tiny_cfg, head="softmax", dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    v = std.init(jax.random.key(0), x, False)
+    a = np.asarray(make_fast_infer(tiny_cfg, pallas_layer1=False, interpret=True)(v, x))
+    b = np.asarray(make_fast_infer(tiny_cfg, pallas_layer1=False, interpret=True,
+                                   fuse_stem_layer1=True)(v, x))
+    assert a.shape == b.shape == (2, 21, 2)
+    np.testing.assert_allclose(a, b, atol=0.5)
