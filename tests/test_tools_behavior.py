@@ -38,6 +38,93 @@ def test_resize_images_tool(tmp_path, rng):
         assert img.shape == (32, 32, 3)
 
 
+def _llff_fixture(tmp_path, n_views=4, h=48, w=64, f=80.0):
+    """Synthetic LLFF scene following the reference loader's on-disk layout
+    (reference tools/load_llff.py:61-99): ``poses_bounds.npy`` rows of
+    flattened 3x5 [R|t|hwf] (camera-to-world, LLFF column convention
+    [down, right, back]) + 2 depth bounds, plus an ``images/`` directory.
+
+    Returns (scene_dir, world_pts (K,3), gt_uv (V,K,2))."""
+    rng = np.random.default_rng(3)
+    world = rng.uniform(-0.2, 0.2, size=(21, 3))
+
+    rows, gt_uv = [], []
+    for v in range(n_views):
+        ang = 2 * np.pi * v / n_views
+        cam_pos = np.array([1.5 * np.sin(ang), 0.3, 1.5 * np.cos(ang)])
+        fwd = -cam_pos / np.linalg.norm(cam_pos)          # look at origin
+        up_world = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up_world)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)                       # right-handed r,d,f
+
+        # LLFF camera-to-world columns: [down, right, back] (load_llff.py:256)
+        c2w = np.stack([down, right, -fwd, cam_pos], axis=1)   # (3, 4)
+        hwf = np.array([h, w, f])[:, None]
+        rows.append(np.concatenate([c2w, hwf], axis=1).reshape(-1).tolist()
+                    + [0.5, 3.0])
+
+        # ground-truth pinhole projection (world -> cam rows [right,down,fwd])
+        R = np.stack([right, down, fwd], axis=0)
+        xc = (world - cam_pos) @ R.T
+        uv = np.stack([f * xc[:, 0] / xc[:, 2] + w / 2.0,
+                       f * xc[:, 1] / xc[:, 2] + h / 2.0], axis=1)
+        gt_uv.append(uv)
+
+    scene = tmp_path / "scene"
+    os.makedirs(scene / "images")
+    np.save(str(scene / "poses_bounds.npy"), np.asarray(rows, np.float64))
+    for v in range(n_views):
+        cv2.imwrite(str(scene / "images" / f"view_{v:03d}.png"),
+                    np.full((h, w, 3), 40 * v + 20, np.uint8))
+    return scene, world, np.stack(gt_uv)
+
+
+def test_llff_poses_bounds_protocol(tmp_path):
+    """load_llff_poses + llff_projections must recover the cameras written
+    in the reference's poses_bounds.npy layout: projecting known world
+    points through the derived P matrices reproduces the ground-truth
+    pixels, and triangulating the ground-truth pixels recovers the points
+    (reference tools/load_llff.py:246-321 load path)."""
+    sys.path.insert(0, TOOLS)
+    from nerf_pose_est import llff_projections, load_llff_poses
+
+    scene, world, gt_uv = _llff_fixture(tmp_path)
+    c2w, hwf, bounds = load_llff_poses(str(scene))
+    assert c2w.shape == (4, 3, 4) and bounds.shape == (4, 2)
+    np.testing.assert_allclose(hwf, np.tile([48, 64, 80.0], (4, 1)), atol=1e-5)
+
+    projs = llff_projections(c2w, hwf)
+    ones = np.concatenate([world, np.ones((21, 1))], axis=1)
+    for v in range(4):
+        uvw = ones @ projs[v].T
+        uv = uvw[:, :2] / uvw[:, 2:3]
+        np.testing.assert_allclose(uv, gt_uv[v], atol=1e-3)
+
+    # end-to-end recovery: GT 2D + LLFF cameras -> original world points
+    from hrnet_hand_pose_estimation_tpu.ops.geometry import triangulate_batch
+    kp3d = np.asarray(triangulate_batch(
+        jnp.asarray(gt_uv[None], jnp.float32), jnp.asarray(projs[None]),
+        method="sii"))
+    np.testing.assert_allclose(kp3d[0], world, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_nerf_pose_est_tool_runs_on_llff_scene(tmp_path):
+    """The CLI drives the reference LLFF protocol end to end (random weights;
+    asserts artifact shapes, not accuracy)."""
+    scene, _, _ = _llff_fixture(tmp_path)
+    out = tmp_path / "out"
+    r = _run([os.path.join(TOOLS, "nerf_pose_est.py"),
+              "--cfg", os.path.join(REPO, "experiments", "synthetic_smoke.yaml"),
+              "--scene", str(scene), "--out_dir", str(out), "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-800:]
+    kp3d = np.loadtxt(out / "pose3d.txt")
+    assert kp3d.shape == (21, 3)
+    kp2d = np.loadtxt(out / "pose2d_per_view.txt")
+    assert kp2d.shape == (4, 42)
+
+
 def test_compare_tool_reproduces_reference_auc(tmp_path):
     """compare.py over the reference's own shipped PCK artifacts must print
     the BASELINE.md AUC numbers (golden behavioural check)."""
