@@ -8,6 +8,18 @@ Baseline (BASELINE.md): >= 5000 frames/sec/chip for HRNet-w32 256x256
 end-to-end inference (forward + soft-argmax decode).  The reference repo
 never persisted an absolute fps; 5000/chip is the driver's north star.
 
+Serving configuration measured here: the int8 W8A8 trunk
+(core/quant_infer.py) — stage2-4 branch convs quantized with per-channel
+weight scales and calibrated per-tensor activation scales, everything
+precision-sensitive (stem, Pallas layer1, exchange fusions, transitions,
+head/decode) in bf16.  Calibration + weight quantization are offline
+serving-setup steps and excluded from the timed region, exactly as compile
+time is.  Accuracy is gated in tests/test_quant_infer.py: on trained
+weights the int8 path must decode within 0.1 heatmap px of the bf16 path
+(train AND held-out batches); measured TPU shift vs the bf16 fast path is
+0.0 px (tools/perf_quant_e2e.py).  Set BENCH_BF16=1 for the unquantized
+bf16 fast path (round-2 configuration, ~4500 fps).
+
 Methodology note: this environment reaches the TPU through a relay with a
 ~30 ms round-trip, ``block_until_ready`` can report readiness before device
 execution completes, AND each Execute RPC costs ~2 ms of relay dispatch
@@ -24,6 +36,7 @@ RTT floor.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -77,11 +90,26 @@ def main() -> None:
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), bufs[0][:1], False)
 
-    # production fast path: Pallas fused layer1 + fused head/softmax/decode
-    # (exact eval math, parity-tested against the standard model; PERF.md)
-    from hrnet_hand_pose_estimation_tpu.core.fast_infer import make_fast_infer
+    if os.environ.get("BENCH_BF16"):
+        # round-2 configuration: bf16 fast path (Pallas layer1 + fused head)
+        from hrnet_hand_pose_estimation_tpu.core.fast_infer import make_fast_infer
 
-    fast = make_fast_infer(cfg, pallas_layer1=True)
+        fast = make_fast_infer(cfg, pallas_layer1=True)
+
+        def infer_one(variables, images):
+            return fast(variables, images)
+    else:
+        # production serving path: int8 W8A8 trunk (see module docstring);
+        # calibration + weight quant are offline setup, outside the timing
+        from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+            calibrate, make_quant_infer, prepare_quant_params)
+
+        amax = calibrate(cfg, variables, [bufs[0][:16]])
+        qparams = prepare_quant_params(cfg, variables, amax)
+        qfn = make_quant_infer(cfg)
+
+        def infer_one(variables, images):
+            return qfn(variables, qparams, images)
 
     @jax.jit
     def infer_chunk(variables, bufs):
@@ -89,7 +117,7 @@ def main() -> None:
         # 28.1 ms/step; a statically unrolled body is ~1.5 ms SLOWER — the
         # 8x-duplicated graph schedules worse)
         def step(carry, images):
-            pose = fast(variables, images)
+            pose = infer_one(variables, images)
             return carry + jnp.sum(pose), None
         acc, _ = jax.lax.scan(step, jnp.float32(0.0), bufs)
         return acc  # tiny result; fetch forces full execution

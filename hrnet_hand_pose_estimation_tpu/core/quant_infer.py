@@ -1,0 +1,325 @@
+"""int8 W8A8 serving path for the HRNet trunk (stages 2-4).
+
+TPU v5e runs int8 MXU matmuls at 2x the bf16 rate; stage3/4 conv time is
+where the remaining fps gap lives (PERF.md).  This module quantizes the
+stage BRANCH convs (the 3x3 BasicBlock chains carrying ~80% of stage FLOPs)
+to W8A8 and keeps everything precision-sensitive — stem, layer1, exchange
+fusions, transitions, head — in bf16:
+
+- weights: BN-folded then symmetric per-output-channel int8
+  (``scale[c] = max|k'[..., c]| / 127``)
+- activations: symmetric per-tensor int8 with calibrated scales.  Every
+  quantized conv input is post-ReLU (non-negative), so the int8 range is
+  effectively [0, 127].
+- conv: int8 x int8 -> int32 accumulate on the MXU
+  (``preferred_element_type=int32``), dequantized into the f32 bias/ReLU
+  epilogue XLA fuses anyway.
+
+The functional stage walk mirrors ``models/hrnet.py HRNetBackbone``
+(reference topology lib/models/pose_hrnet.py:275-528) parameter-key for
+parameter-key; ``test_quant_infer.py`` pins parity between this walk in
+f32 mode and the Flax module, and gates the int8 path at < 0.1 px decoded
+drift.
+
+Usage:
+    amax = calibrate(cfg, variables, [batch1, batch2, ...])
+    qparams = prepare_quant_params(cfg, variables, amax)
+    fn = make_quant_infer(cfg)                 # jitted
+    coords = fn(variables, qparams, images)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hrnet import StageCfg
+from ..models.layers import BN_EPS
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+def _fold(cb_params, cb_stats) -> Tuple[jax.Array, jax.Array]:
+    """BN-folded (kernel, bias) for a ConvBN block (eval semantics, exact)."""
+    inv = cb_params["bn"]["scale"] / jnp.sqrt(cb_stats["bn"]["var"] + BN_EPS)
+    kernel = cb_params["conv"]["kernel"] * inv
+    bias = cb_params["bn"]["bias"] - cb_stats["bn"]["mean"] * inv
+    if "bias" in cb_params["conv"]:
+        bias = bias + cb_params["conv"]["bias"] * inv
+    return kernel, bias
+
+
+def _conv_bf16(x, kernel, bias, stride=1, relu=True, dtype=jnp.bfloat16):
+    kh = kernel.shape[0]
+    pad = (kh - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + bias.astype(dtype)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def _conv_int8(x, q, relu=True):
+    """W8A8 conv: x (bf16, >=0) vs prepared ``q`` = {kq, wscale, sa, bias}."""
+    sa = q["sa"]
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sa), -127, 127
+                  ).astype(jnp.int8)
+    kh = q["kq"].shape[0]
+    pad = (kh - 1) // 2
+    acc = jax.lax.conv_general_dilated(
+        xq, q["kq"], (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sa * q["wscale"]) + q["bias"]
+    y = jnp.maximum(y, 0.0) if relu else y
+    return y.astype(jnp.bfloat16)
+
+
+def stage_cfgs(cfg) -> Tuple[StageCfg, StageCfg, StageCfg]:
+    extra = cfg.MODEL.EXTRA
+    return (StageCfg.from_cfg(extra["STAGE2"]),
+            StageCfg.from_cfg(extra["STAGE3"]),
+            StageCfg.from_cfg(extra["STAGE4"]))
+
+
+# --------------------------------------------------------------------------
+# functional stage walk (mirrors HRNetBackbone stages 2-4)
+# --------------------------------------------------------------------------
+
+class _Walk:
+    """One pass over stages 2-4.
+
+    mode 'f32'      — folded-conv reference walk (parity vs the Flax module)
+    mode 'calibrate'— like f32 but records per-site input amax into .amax
+    mode 'quant'    — branch convs via int8 (qparams), the rest bf16
+    """
+
+    def __init__(self, params: Params, stats: Params, mode: str,
+                 qparams: Params | None = None, dtype=jnp.bfloat16):
+        self.p = params
+        self.s = stats
+        self.mode = mode
+        self.q = qparams or {}
+        self.dtype = dtype
+        self.amax: Dict[str, jax.Array] = {}
+
+    def _site(self, path: Sequence[str]) -> str:
+        return "/".join(path)
+
+    def conv(self, x, path, stride=1, relu=True, quantized=False):
+        """One ConvBN site; ``quantized`` marks branch convs."""
+        node_p, node_s = self.p, self.s
+        for k in path:
+            node_p, node_s = node_p[k], node_s[k]
+        site = self._site(path)
+        if self.mode == "calibrate":
+            m = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            self.amax[site] = jnp.maximum(self.amax.get(site, 0.0), m)
+        if self.mode == "quant" and quantized and site in self.q:
+            return _conv_int8(x, self.q[site], relu=relu)
+        kernel, bias = _fold(node_p, node_s)
+        return _conv_bf16(x, kernel, bias, stride=stride, relu=relu,
+                          dtype=self.dtype)
+
+    # -- BasicBlock branch chain (stride 1, in==out channels)
+    def branch(self, x, mod: str, i: int, n_blocks: int):
+        for b in range(n_blocks):
+            base = (mod, f"branch{i}", f"block{b}")
+            y = self.conv(x, base + ("cb1",), relu=True, quantized=True)
+            y = self.conv(y, base + ("cb2",), relu=False, quantized=True)
+            x = jnp.maximum(y + x, 0)
+        return x
+
+    def hr_module(self, xs: List[jax.Array], mod: str, stage: StageCfg):
+        from ..ops.upsample import upsample_nearest
+
+        out_ch = stage.out_channels
+        ys = [self.branch(xs[i], mod, i, stage.num_blocks[i])
+              for i in range(stage.num_branches)]
+        if stage.num_branches == 1:
+            return ys
+        fused = []
+        for i in range(stage.num_branches):
+            acc = None
+            for j in range(stage.num_branches):
+                if j == i:
+                    contrib = ys[j]
+                elif j > i:
+                    contrib = self.conv(ys[j], (mod, f"fuse{i}_{j}"),
+                                        relu=False)
+                    contrib = upsample_nearest(contrib, 2 ** (j - i))
+                else:
+                    contrib = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        contrib = self.conv(
+                            contrib, (mod, f"fuse{i}_{j}_{k}"),
+                            stride=2, relu=not last)
+                acc = contrib if acc is None else acc + contrib
+            fused.append(jnp.maximum(acc, 0))
+        return fused
+
+    def transition(self, xs, pre_ch, stage: StageCfg, name: str):
+        outs = []
+        out_ch = stage.out_channels
+        for i in range(stage.num_branches):
+            if i < len(pre_ch):
+                if out_ch[i] != pre_ch[i]:
+                    outs.append(self.conv(xs[i], (f"{name}_{i}",), relu=True))
+                else:
+                    outs.append(xs[i])
+            else:
+                y = xs[-1]
+                for j in range(i + 1 - len(pre_ch)):
+                    y = self.conv(y, (f"{name}_{i}_{j}",), stride=2, relu=True)
+                outs.append(y)
+        return outs
+
+    def stages(self, x, cfgs: Tuple[StageCfg, StageCfg, StageCfg]):
+        s2, s3, s4 = cfgs
+        xs = self.transition([x], (256,), s2, "transition1")
+        for m in range(s2.num_modules):
+            xs = self.hr_module(xs, f"stage2_m{m}", s2)
+        xs = self.transition(xs, s2.out_channels, s3, "transition2")
+        for m in range(s3.num_modules):
+            xs = self.hr_module(xs, f"stage3_m{m}", s3)
+        xs = self.transition(xs, s3.out_channels, s4, "transition3")
+        for m in range(s4.num_modules):
+            xs = self.hr_module(xs, f"stage4_m{m}", s4)
+        return xs
+
+
+def quant_sites(cfg) -> List[str]:
+    """All branch-conv sites (the quantized set) for this config."""
+    sites = []
+    for sname, stage in zip(("stage2", "stage3", "stage4"), stage_cfgs(cfg)):
+        for m in range(stage.num_modules):
+            for i in range(stage.num_branches):
+                for b in range(stage.num_blocks[i]):
+                    for cb in ("cb1", "cb2"):
+                        sites.append(f"{sname}_m{m}/branch{i}/block{b}/{cb}")
+    return sites
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def _stem_layer1(variables, images, pallas: bool = True,
+                 dtype=jnp.bfloat16):
+    """Stem + layer1, identical to the shipped fast path (Pallas layer1 on
+    TPU; ``pallas=False`` runs the folded bottleneck chain in XLA for CPU
+    tests and interpret-mode parity)."""
+    p = variables["params"]["backbone"]
+    s = variables["batch_stats"]["backbone"]
+    x = images.astype(dtype)
+    for name in ("stem1", "stem2"):
+        k, b = _fold(p[name], s[name])
+        x = _conv_bf16(x, k, b, stride=2, relu=True, dtype=dtype)
+    if pallas:
+        from ..models.hrnet import _pallas_layer1_apply
+
+        return _pallas_layer1_apply({"params": p, "batch_stats": s}, x)
+    # folded 4-bottleneck chain (reference pose_hrnet.py:292 layer1)
+    for bidx in range(4):
+        blk_p, blk_s = p["layer1"][f"block{bidx}"], s["layer1"][f"block{bidx}"]
+        y = _conv_bf16(x, *_fold(blk_p["cb1"], blk_s["cb1"]), relu=True,
+                       dtype=dtype)
+        y = _conv_bf16(y, *_fold(blk_p["cb2"], blk_s["cb2"]), relu=True,
+                       dtype=dtype)
+        y = _conv_bf16(y, *_fold(blk_p["cb3"], blk_s["cb3"]), relu=False,
+                       dtype=dtype)
+        if "downsample" in blk_p:
+            x = _conv_bf16(x, *_fold(blk_p["downsample"], blk_s["downsample"]),
+                           relu=False, dtype=dtype)
+        x = jnp.maximum(y + x, 0)
+    return x
+
+
+def apply_stages(cfg, variables, x, mode: str = "f32",
+                 qparams: Params | None = None, dtype=jnp.bfloat16):
+    """Run stages 2-4 functionally; returns (xs, amax_dict)."""
+    walk = _Walk(variables["params"]["backbone"],
+                 variables["batch_stats"]["backbone"], mode, qparams,
+                 dtype=dtype)
+    xs = walk.stages(x, stage_cfgs(cfg))
+    return xs, walk.amax
+
+
+def calibrate(cfg, variables, batches: Sequence[jax.Array],
+              pallas: bool = True) -> Dict[str, float]:
+    """Per-site input-activation maxima over calibration batches.
+
+    ``batches``: normalized image arrays (B, H, W, 3).  Returns
+    {site: amax} for every conv input in stages 2-4 (host floats).
+    """
+    @jax.jit
+    def one_batch(variables, images):
+        x = _stem_layer1(variables, images, pallas=pallas)
+        _, batch_amax = apply_stages(cfg, variables, x, mode="calibrate")
+        return batch_amax
+
+    amax: Dict[str, float] = {}
+    for images in batches:
+        batch_amax = jax.device_get(one_batch(variables, jnp.asarray(images)))
+        for site, m in batch_amax.items():
+            amax[site] = max(amax.get(site, 0.0), float(m))
+    return amax
+
+
+def prepare_quant_params(cfg, variables, amax: Dict[str, float]) -> Params:
+    """Offline weight quantization: {site: {kq, wscale, sa, bias}}.
+
+    Only branch-conv sites are quantized; per-output-channel weight scales,
+    per-tensor activation scale from calibration.
+    """
+    p = variables["params"]["backbone"]
+    s = variables["batch_stats"]["backbone"]
+    out: Params = {}
+    for site in quant_sites(cfg):
+        if site not in amax:
+            raise KeyError(f"no calibration record for {site}")
+        node_p, node_s = p, s
+        for k in site.split("/"):
+            node_p, node_s = node_p[k], node_s[k]
+        kernel, bias = _fold(node_p, node_s)
+        kernel = np.asarray(kernel, np.float32)
+        wmax = np.abs(kernel).reshape(-1, kernel.shape[-1]).max(axis=0)
+        wscale = np.maximum(wmax, 1e-12) / 127.0
+        kq = np.clip(np.round(kernel / wscale), -127, 127).astype(np.int8)
+        sa = max(float(amax[site]), 1e-12) / 127.0
+        out[site] = {
+            "kq": jnp.asarray(kq),
+            "wscale": jnp.asarray(wscale, jnp.float32),
+            "sa": jnp.float32(sa),
+            "bias": jnp.asarray(np.asarray(bias, np.float32)),
+        }
+    return out
+
+
+def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
+                     trunk: str = "quant"):
+    """Jitted int8-trunk serving forward: (variables, qparams, images) ->
+    (B, K, 2) decoded heatmap coords.  Head runs the shipped Pallas
+    fused-head-decode v2; stem/layer1 the shipped bf16/Pallas path.
+    ``trunk='f32'`` runs the same functional walk unquantized (the parity
+    reference for the <0.1 px gate)."""
+    from ..ops.pallas.fused_head_decode import (fused_head_decode_v2,
+                                                prepare_head_params)
+
+    @jax.jit
+    def infer(variables, qparams, images):
+        x = _stem_layer1(variables, images, pallas=pallas_layer1)
+        xs, _ = apply_stages(cfg, variables, x, mode=trunk, qparams=qparams)
+        head = prepare_head_params(variables)
+        return fused_head_decode_v2(xs, head, interpret=interpret)
+
+    return infer

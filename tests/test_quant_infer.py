@@ -1,0 +1,173 @@
+"""int8 W8A8 trunk (core/quant_infer.py): functional-walk parity vs the Flax
+backbone, and the accuracy gate for the quantized path (<0.1 px decoded
+drift vs the unquantized walk)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+    _stem_layer1, apply_stages, calibrate, make_quant_infer,
+    prepare_quant_params, quant_sites)
+from hrnet_hand_pose_estimation_tpu.models.hrnet import hrnet_from_cfg
+
+
+def _activated_variables(model, x, rng, gain=1.4, temp=2.0):
+    """Random-but-active weights: He-rescale every conv kernel so spatial
+    variation survives depth (the shipped 0.001-std init decays activations
+    to per-channel constants within a few layers — every input then decodes
+    to the uniform centre and a parity gate is vacuous), randomise BN, and
+    set a sharpening softmax temperature so heatmaps are peaked and
+    sample-dependent."""
+    v = model.init(jax.random.key(0), x, False)
+
+    def boost(tree, path=()):
+        out = {}
+        for k, leaf in tree.items():
+            if isinstance(leaf, dict):
+                out[k] = boost(leaf, path + (k,))
+            elif k == "kernel" and leaf.ndim >= 2:
+                fan_in = int(np.prod(leaf.shape[:-1]))
+                std = float(jnp.std(leaf)) + 1e-12
+                out[k] = leaf * (gain / np.sqrt(fan_in) / std)
+            elif k == "scale":
+                out[k] = leaf * jnp.asarray(
+                    1.0 + 0.2 * rng.standard_normal(leaf.shape), leaf.dtype)
+            elif k == "bias":
+                out[k] = leaf + jnp.asarray(
+                    0.05 * rng.standard_normal(leaf.shape), leaf.dtype)
+            else:
+                out[k] = leaf
+        return out
+
+    params = boost(v["params"])
+    if "trainable_temp" in params:
+        params["trainable_temp"] = jnp.asarray(float(temp))
+    return {"params": params,
+            "batch_stats": jax.tree.map(lambda l: l, v["batch_stats"])}
+
+
+@pytest.fixture
+def activated(tiny_cfg):
+    rng = np.random.default_rng(0)
+    model = hrnet_from_cfg(tiny_cfg, head="softmax")
+    x = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+    v = _activated_variables(model, x, rng)
+    return tiny_cfg, model, v, x
+
+
+def test_quant_walk_f32_matches_flax_backbone(activated):
+    """The functional walk run in f32 == the Flax backbone in f32 (exact
+    topology parity; BN folding is algebraically exact in f32)."""
+    cfg, model, v, x = activated
+    bb_vars = {"params": v["params"]["backbone"],
+               "batch_stats": v["batch_stats"]["backbone"]}
+    from hrnet_hand_pose_estimation_tpu.models.hrnet import (
+        HRNetBackbone, StageCfg)
+
+    extra = cfg.MODEL.EXTRA
+    backbone = HRNetBackbone(
+        stage2=StageCfg.from_cfg(extra["STAGE2"]),
+        stage3=StageCfg.from_cfg(extra["STAGE3"]),
+        stage4=StageCfg.from_cfg(extra["STAGE4"]),
+        dtype=jnp.float32)
+    ref = backbone.apply(bb_vars, x, False)
+
+    stem = _stem_layer1(v, x, pallas=False, dtype=jnp.float32)
+    got, amax = apply_stages(cfg, v, stem, mode="f32", dtype=jnp.float32)
+    assert not amax
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        g32, r32 = np.asarray(g, np.float32), np.asarray(r, np.float32)
+        scale = max(np.abs(r32).max(), 1e-6)
+        assert np.abs(g32 - r32).max() / scale < 2e-4, (
+            f"walk diverges from Flax backbone: {np.abs(g32 - r32).max()}")
+
+
+def test_calibrate_covers_all_quant_sites(activated):
+    cfg, model, v, x = activated
+    amax = calibrate(cfg, v, [np.asarray(x[:2]), np.asarray(x[2:])],
+                     pallas=False)
+    sites = quant_sites(cfg)
+    missing = [s for s in sites if s not in amax]
+    assert not missing, f"uncalibrated sites: {missing[:5]}"
+    assert all(m > 0 for m in amax.values())
+
+
+@pytest.mark.slow
+def test_int8_trunk_decode_gate_trained(tiny_cfg):
+    """The accuracy gate, on TRAINED weights.
+
+    Random/He-boosted nets are chaotic: even plain bf16-vs-f32 rounding
+    shifts decoded coords by PIXELS on them (measured: 3.9 px max on this
+    tiny net), so no numeric change can gate there.  Trained networks are
+    the deployment regime and are numerically stable; gate: train the tiny
+    model to localise synthetic keypoints (pose2d loss — the reference's
+    own trainable-softmax recipe; heatmap-L2 vs a softmax head has an
+    irreducible ~11.6 floor since the softmax sums to 1 and the Gaussian
+    target to ~25, so loss level is not a convergence signal), then
+    require the int8 trunk to decode within 0.1 heatmap px of the bf16
+    path on train AND held-out batches."""
+    import optax
+
+    from hrnet_hand_pose_estimation_tpu.data.synthetic import SyntheticDataset
+    from hrnet_hand_pose_estimation_tpu.data.pipeline import (
+        DataLoader, default_collate)
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+    from hrnet_hand_pose_estimation_tpu.parallel.train_step import (
+        TrainState, make_train_step)
+
+    cfg = tiny_cfg.clone()
+    cfg.LOSS.WITH_POSE2D_LOSS = True
+    cfg = cfg.freeze()
+    model = build_model(cfg)
+    ds = SyntheticDataset(length=16, img_size=64, hm_size=16)
+    batch_np = default_collate([ds[i] for i in range(16)])
+    batch = {
+        "images": jnp.asarray(batch_np["imgs"]),
+        "target_heatmaps": jnp.asarray(batch_np["heatmaps"]),
+        "pose2d": jnp.asarray(batch_np["pose2d"]),
+        "visibility": jnp.ones((16, 21), jnp.float32),
+    }
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), batch["images"][:1], False)
+    tx = optax.adam(1.5e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    step = make_train_step(cfg, model, tx)
+    for i in range(400):
+        state, losses = step(state, batch)
+
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+    x_train = batch["images"]
+    # convergence = decoded accuracy (the quantity the gate is about):
+    # trained decode must localise the synthetic keypoints to ~1 hm px
+    ref_fn0 = make_quant_infer(cfg, interpret=True, pallas_layer1=False,
+                               trunk="f32")
+    err = np.abs(np.asarray(ref_fn0(trained, {}, x_train))
+                 - np.asarray(batch["pose2d"])).mean()
+    assert err < 1.5, f"did not train to localise: mean decode err {err:.2f} px"
+    # held-out = IN-DISTRIBUTION samples the net never saw (seed 1).  The
+    # serving contract is calibration data ~ serving data; on pure-noise
+    # inputs (uncalibrated activation ranges + near-uniform heatmaps where
+    # argmax is ill-conditioned) the shift measures 1.23 px — documented
+    # out-of-distribution bound, not a serving regime.
+    ds_held = SyntheticDataset(length=8, img_size=64, hm_size=16, seed=1)
+    x_held = jnp.asarray(
+        default_collate([ds_held[i] for i in range(8)])["imgs"])
+
+    amax = calibrate(cfg, trained, [np.asarray(x_train)], pallas=False)
+    qparams = prepare_quant_params(cfg, trained, amax)
+    ref_fn = ref_fn0
+    q_fn = make_quant_infer(cfg, interpret=True, pallas_layer1=False,
+                            trunk="quant")
+    for x in (x_train, x_held):
+        ref = np.asarray(ref_fn(trained, {}, x))
+        got = np.asarray(q_fn(trained, qparams, x))
+        shift = np.abs(got - ref).max()
+        assert shift < 0.1, f"int8 decode shift {shift:.4f} px >= 0.1 px"
+    # trained-regime sanity: decode varies across samples (non-degenerate)
+    assert np.asarray(ref_fn(trained, {}, x_train)).std(axis=0).max() > 0.5
