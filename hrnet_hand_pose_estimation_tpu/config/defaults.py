@@ -242,6 +242,10 @@ def default_config() -> ConfigNode:
     tpu.MESH_SHAPE = []                # [] -> all local devices on axis 0
     tpu.REMAT = False                  # jax.checkpoint the backbone stages
     tpu.PREFETCH = 2                   # device-prefetch depth for input batches
+    # train steps fused per dispatch (lax.scan over pre-staged batches);
+    # >1 amortizes host->device dispatch latency, same motivation as the
+    # reference's DataPrefetcher (lib/dataset/build.py:8-40) on CUDA streams
+    tpu.STEPS_PER_DISPATCH = 1
     tpu.SEED = 0
     # anomaly guard (the reference trains under
     # torch.autograd.set_detect_anomaly(True), tools/train.py:335): when on,

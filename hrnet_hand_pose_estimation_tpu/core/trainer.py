@@ -86,6 +86,19 @@ class Trainer:
         from .train_variants import pick_train_step
 
         self.train_step = pick_train_step(cfg, model, self.tx, self.mesh)
+        # device-resident multi-step: K train steps per dispatch (standard
+        # 2D path only; CPM/mv variants keep per-step dispatch)
+        self.steps_per_dispatch = (
+            int(cfg.TPU.STEPS_PER_DISPATCH)
+            if str(cfg.MODEL.NAME) not in ("CPM", "multiview_pose_hrnet")
+            else 1)
+        if self.steps_per_dispatch > 1:
+            from ..parallel.train_step import make_train_multistep
+
+            self.train_multistep = make_train_multistep(
+                cfg, model, self.tx, self.mesh)
+        else:
+            self.train_multistep = None
         self.eval_step = make_eval_step(cfg, model, self.mesh)
         self.begin_epoch = int(cfg.TRAIN.BEGIN_EPOCH)
         self.best_loss = float("inf")
@@ -112,6 +125,8 @@ class Trainer:
         # iterations force a host sync
         accum: Optional[Dict] = None
         accum_n = 0
+        k_dispatch = self.steps_per_dispatch
+        pending: list = []
         for name, loader in self.train_loaders.items():
             loader.set_epoch(epoch)
             it = device_prefetch(iter(loader), self.mesh,
@@ -120,14 +135,33 @@ class Trainer:
                 if getattr(loader.dataset, "exception", False):
                     continue  # reference skips flagged bad samples (function.py:188-190)
                 step_batch = _batch_for_step(batch)
-                self.state, losses = self.train_step(self.state, step_batch)
-                bs = step_batch["images"].shape[0]
-                n_samples += bs
-                self.train_global_steps += 1
-                weighted = jax.tree.map(lambda v: v * bs, losses)
-                accum = weighted if accum is None else jax.tree.map(
-                    jnp.add, accum, weighted)
-                accum_n += bs
+                if self.train_multistep is not None:
+                    pending.append(step_batch)
+                    if len(pending) < k_dispatch:
+                        continue
+                    stacked = jax.tree.map(
+                        lambda *xs: jnp.stack(xs), *pending)
+                    pending = []
+                    self.state, losses_k = self.train_multistep(
+                        self.state, stacked)
+                    bs = step_batch["images"].shape[0]
+                    n_samples += bs * k_dispatch
+                    self.train_global_steps += k_dispatch
+                    weighted = jax.tree.map(
+                        lambda v: jnp.sum(v, axis=0) * bs, losses_k)
+                    losses = jax.tree.map(lambda v: v[-1], losses_k)
+                    accum = weighted if accum is None else jax.tree.map(
+                        jnp.add, accum, weighted)
+                    accum_n += bs * k_dispatch
+                else:
+                    self.state, losses = self.train_step(self.state, step_batch)
+                    bs = step_batch["images"].shape[0]
+                    n_samples += bs
+                    self.train_global_steps += 1
+                    weighted = jax.tree.map(lambda v: v * bs, losses)
+                    accum = weighted if accum is None else jax.tree.map(
+                        jnp.add, accum, weighted)
+                    accum_n += bs
                 if i % int(cfg.PRINT_FREQ) == 0:
                     host = {k: float(v) for k, v in losses.items()}
                     speed = n_samples / max(time.time() - t_start, 1e-9)
@@ -137,6 +171,16 @@ class Trainer:
                         " ".join(f"{k}={v:.5f}" for k, v in host.items()))
                     for k, v in host.items():
                         self.writer.add_scalar(f"train/{k}", v, self.train_global_steps)
+        # leftover batches (< K at epoch end) run through the per-step path
+        for step_batch in pending:
+            self.state, losses = self.train_step(self.state, step_batch)
+            bs = step_batch["images"].shape[0]
+            n_samples += bs
+            self.train_global_steps += 1
+            weighted = jax.tree.map(lambda v: v * bs, losses)
+            accum = weighted if accum is None else jax.tree.map(
+                jnp.add, accum, weighted)
+            accum_n += bs
         if accum is not None and accum_n:
             meter.update({k: float(v) / accum_n for k, v in accum.items()},
                          n=accum_n)

@@ -223,3 +223,123 @@ def test_anomaly_guard_skips_nonfinite_step(tiny_cfg):
                 for a, b in zip(jax.tree.leaves(before),
                                 jax.tree.leaves(state3.params)))
     assert moved
+
+
+def _tiny_batch(rng, b=4, seed_off=0):
+    from hrnet_hand_pose_estimation_tpu.ops.targets import gaussian_targets
+
+    joints = rng.uniform(2, 14, size=(b, 21, 2)).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(
+            rng.normal(size=(b, 64, 64, 3)).astype(np.float32)),
+        "pose2d": jnp.asarray(joints),
+        "visibility": jnp.ones((b, 21), jnp.float32),
+    }
+    batch["target_heatmaps"] = gaussian_targets(
+        batch["pose2d"], batch["visibility"], 16, 2)
+    return batch
+
+
+def test_train_multistep_matches_sequential_steps(tiny_cfg):
+    """K scanned steps per dispatch must produce the same state trajectory
+    as K per-step dispatches (optimizer, BN stats, anomaly guard included).
+
+    f32 compute + SGD: adam's update is ~sign(grad)*lr, and on a random
+    init many gradient components are numerically ~0, so ANY rounding
+    difference between the scanned and standalone XLA programs flips a
+    sign and moves a param by 2*lr (measured: 2.7e-3 max) — an update-rule
+    amplification, not a semantics difference.  SGD is linear in the
+    gradient, so rounding stays rounding and the trajectories must agree
+    tightly; the optimizer/BN/guard plumbing exercised is identical."""
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+    from hrnet_hand_pose_estimation_tpu.parallel.train_step import (
+        TrainState, make_train_multistep, make_train_step)
+
+    cfg = tiny_cfg.clone()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg = cfg.freeze()
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batches = [_tiny_batch(rng) for _ in range(3)]
+
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), batches[0]["images"][:1], False)
+    tx = optax.sgd(1e-2, momentum=0.9)
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree.map(jnp.copy, variables["params"]),
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            opt_state=tx.init(variables["params"]))
+
+    step = make_train_step(cfg, model, tx)
+    s1 = fresh_state()
+    seq_losses = []
+    for b in batches:
+        s1, losses = step(s1, b)
+        seq_losses.append(float(losses["total_loss"]))
+
+    multi = make_train_multistep(cfg, model, tx)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    s2, losses_k = multi(fresh_state(), stacked)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_k["total_loss"]), seq_losses, rtol=2e-4)
+    assert int(s2.step) == int(s1.step) == 3
+    # params agree to well under one update (lr=1e-2): the residual 2.5e-4
+    # is f32 rounding between the scanned and standalone XLA programs
+    # amplified through the 20-conv BN/softmax grad chain (measured)
+    for l1, l2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l2, np.float32), atol=1e-3)
+
+
+def test_train_multistep_sharded_on_mesh(tiny_cfg):
+    """Multi-step on the dp mesh: batch axis sharded over 'data', scan axis
+    replicated; state stays on its shardings and losses come back (K,)."""
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+    from hrnet_hand_pose_estimation_tpu.parallel.mesh import make_mesh, shard_batch
+    from hrnet_hand_pose_estimation_tpu.parallel.train_step import (
+        create_train_state, make_train_multistep)
+
+    cfg = tiny_cfg
+    model = build_model(cfg)
+    mesh = make_mesh(("data",), (8,))
+    rng = np.random.default_rng(1)
+    batches = [shard_batch(mesh, _tiny_batch(rng, b=8)) for _ in range(2)]
+
+    state, tx = create_train_state(cfg, model, jax.random.key(0),
+                                   batches[0], mesh)
+    multi = make_train_multistep(cfg, model, tx, mesh)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    state, losses_k = multi(state, stacked)
+    total = np.asarray(losses_k["total_loss"])
+    assert total.shape == (2,) and np.isfinite(total).all()
+    assert int(state.step) == 2
+
+
+def test_trainer_steps_per_dispatch(tiny_cfg, tmp_path):
+    """Trainer with TPU.STEPS_PER_DISPATCH=2 must train the same number of
+    global steps/samples as per-step dispatch (incl. leftover flushing)."""
+    from hrnet_hand_pose_estimation_tpu.core.trainer import Trainer
+    from hrnet_hand_pose_estimation_tpu.data.build import make_dataloader
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+
+    cfg = tiny_cfg.clone()
+    cfg.DATASET.DATASET = ["Synthetic_kpt"]
+    cfg.DATASET.TEST_DATASET = ["Synthetic_kpt"]
+    cfg.TRAIN.IMAGES_PER_GPU = 16  # 64 synthetic samples -> 4 batches
+    cfg.WORKERS = 0
+    cfg.PRINT_FREQ = 1000
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.LOG_DIR = str(tmp_path)
+    cfg.TPU.STEPS_PER_DISPATCH = 2
+    cfg = cfg.freeze()
+
+    loaders = make_dataloader(cfg, is_train=True, n_devices=1)
+    tr = Trainer(cfg, build_model(cfg), loaders, output_dir=str(tmp_path))
+    assert tr.train_multistep is not None
+    avgs = tr.train_epoch(epoch=1)
+    assert avgs and np.isfinite(avgs["total_loss"])
+    assert tr.train_global_steps == 4
