@@ -67,15 +67,15 @@ def _conv_bf16(x, kernel, bias, stride=1, relu=True, dtype=jnp.bfloat16):
     return jnp.maximum(y, 0) if relu else y
 
 
-def _conv_int8(x, q, relu=True):
-    """W8A8 conv: x (bf16, >=0) vs prepared ``q`` = {kq, wscale, sa, bias}."""
+def _conv_int8(x, q, stride=1, relu=True):
+    """W8A8 conv: x (bf16) vs prepared ``q`` = {kq, wscale, sa, bias}."""
     sa = q["sa"]
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sa), -127, 127
                   ).astype(jnp.int8)
     kh = q["kq"].shape[0]
     pad = (kh - 1) // 2
     acc = jax.lax.conv_general_dilated(
-        xq, q["kq"], (1, 1), ((pad, pad), (pad, pad)),
+        xq, q["kq"], (stride, stride), ((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (sa * q["wscale"]) + q["bias"]
@@ -115,7 +115,10 @@ class _Walk:
         return "/".join(path)
 
     def conv(self, x, path, stride=1, relu=True, quantized=False):
-        """One ConvBN site; ``quantized`` marks branch convs."""
+        """One ConvBN site.  Which sites actually run int8 is decided
+        OFFLINE by ``prepare_quant_params``'s scope — membership in
+        ``self.q`` is the only runtime switch (``quantized`` is kept for
+        call-site documentation of the default 'branch' scope)."""
         node_p, node_s = self.p, self.s
         for k in path:
             node_p, node_s = node_p[k], node_s[k]
@@ -123,11 +126,25 @@ class _Walk:
         if self.mode == "calibrate":
             m = jnp.max(jnp.abs(x)).astype(jnp.float32)
             self.amax[site] = jnp.maximum(self.amax.get(site, 0.0), m)
-        if self.mode == "quant" and quantized and site in self.q:
-            return _conv_int8(x, self.q[site], relu=relu)
+        if self.mode == "quant" and site in self.q:
+            return _conv_int8(x, self.q[site], stride=stride, relu=relu)
         kernel, bias = _fold(node_p, node_s)
         return _conv_bf16(x, kernel, bias, stride=stride, relu=relu,
                           dtype=self.dtype)
+
+    # -- layer1: 4 bottleneck blocks at 64x64 (reference pose_hrnet.py:292)
+    def layer1(self, x):
+        for b in range(4):
+            base = ("layer1", f"block{b}")
+            y = self.conv(x, base + ("cb1",), relu=True, quantized=True)
+            y = self.conv(y, base + ("cb2",), relu=True, quantized=True)
+            y = self.conv(y, base + ("cb3",), relu=False, quantized=True)
+            blk = self.p["layer1"][f"block{b}"]
+            if "downsample" in blk:
+                x = self.conv(x, base + ("downsample",), relu=False,
+                              quantized=True)
+            x = jnp.maximum(y + x, 0)
+        return x
 
     # -- BasicBlock branch chain (stride 1, in==out channels)
     def branch(self, x, mod: str, i: int, n_blocks: int):
@@ -197,21 +214,69 @@ class _Walk:
         return xs
 
 
-def quant_sites(cfg) -> List[str]:
-    """All branch-conv sites (the quantized set) for this config."""
+def quant_sites(cfg, scope: str = "branch") -> List[str]:
+    """Sites to quantize.
+
+    scope 'branch' — stage2-4 BasicBlock branch convs (the conservative
+    default: ~80% of stage FLOPs, exchange topology untouched);
+    scope 'wide'  — additionally layer1 bottlenecks, transition convs and
+    the exchange-fusion convs (everything except stem and head).
+    """
     sites = []
-    for sname, stage in zip(("stage2", "stage3", "stage4"), stage_cfgs(cfg)):
+    cfgs = stage_cfgs(cfg)
+    for sname, stage in zip(("stage2", "stage3", "stage4"), cfgs):
         for m in range(stage.num_modules):
             for i in range(stage.num_branches):
                 for b in range(stage.num_blocks[i]):
                     for cb in ("cb1", "cb2"):
                         sites.append(f"{sname}_m{m}/branch{i}/block{b}/{cb}")
+    if scope == "wide":
+        for b in range(4):
+            for cb in ("cb1", "cb2", "cb3"):
+                sites.append(f"layer1/block{b}/{cb}")
+            if b == 0:
+                sites.append("layer1/block0/downsample")
+        s2, s3, s4 = cfgs
+        pre = [(256,), s2.out_channels, s3.out_channels]
+        for t, (name, stage) in enumerate(
+                zip(("transition1", "transition2", "transition3"),
+                    (s2, s3, s4))):
+            pre_ch = pre[t]
+            for i in range(stage.num_branches):
+                if i < len(pre_ch):
+                    if stage.out_channels[i] != pre_ch[i]:
+                        sites.append(f"{name}_{i}")
+                else:
+                    for j in range(i + 1 - len(pre_ch)):
+                        sites.append(f"{name}_{i}_{j}")
+        for sname, stage in zip(("stage2", "stage3", "stage4"), cfgs):
+            if stage.num_branches == 1:
+                continue
+            for m in range(stage.num_modules):
+                for i in range(stage.num_branches):
+                    for j in range(stage.num_branches):
+                        if j > i:
+                            sites.append(f"{sname}_m{m}/fuse{i}_{j}")
+                        elif j < i:
+                            for k in range(i - j):
+                                sites.append(f"{sname}_m{m}/fuse{i}_{j}_{k}")
     return sites
 
 
 # --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
+
+def _stem(variables, images, dtype=jnp.bfloat16):
+    """The two stride-2 stem convs only (always bf16: C_in=3)."""
+    p = variables["params"]["backbone"]
+    s = variables["batch_stats"]["backbone"]
+    x = images.astype(dtype)
+    for name in ("stem1", "stem2"):
+        k, b = _fold(p[name], s[name])
+        x = _conv_bf16(x, k, b, stride=2, relu=True, dtype=dtype)
+    return x
+
 
 def _stem_layer1(variables, images, pallas: bool = True,
                  dtype=jnp.bfloat16):
@@ -247,9 +312,23 @@ def _stem_layer1(variables, images, pallas: bool = True,
 def apply_stages(cfg, variables, x, mode: str = "f32",
                  qparams: Params | None = None, dtype=jnp.bfloat16):
     """Run stages 2-4 functionally; returns (xs, amax_dict)."""
+    return apply_trunk(cfg, variables, x, mode=mode, qparams=qparams,
+                       dtype=dtype, include_layer1=False)
+
+
+def apply_trunk(cfg, variables, x, mode: str = "f32",
+                qparams: Params | None = None, dtype=jnp.bfloat16,
+                include_layer1: bool = False):
+    """Functional trunk walk: (optionally layer1 +) stages 2-4.
+
+    ``include_layer1`` expects ``x`` to be the stem output (pre-layer1);
+    otherwise ``x`` is the layer1 output.  Returns (xs, amax_dict).
+    """
     walk = _Walk(variables["params"]["backbone"],
                  variables["batch_stats"]["backbone"], mode, qparams,
                  dtype=dtype)
+    if include_layer1:
+        x = walk.layer1(x)
     xs = walk.stages(x, stage_cfgs(cfg))
     return xs, walk.amax
 
@@ -263,8 +342,12 @@ def calibrate(cfg, variables, batches: Sequence[jax.Array],
     """
     @jax.jit
     def one_batch(variables, images):
-        x = _stem_layer1(variables, images, pallas=pallas)
-        _, batch_amax = apply_stages(cfg, variables, x, mode="calibrate")
+        # calibrate through the folded layer1 walk so layer1/transition/
+        # fusion sites get amax records too (the 'wide' scope needs them;
+        # activations match the pallas path within bf16 noise)
+        x = _stem(variables, images)
+        _, batch_amax = apply_trunk(cfg, variables, x, mode="calibrate",
+                                    include_layer1=True)
         return batch_amax
 
     amax: Dict[str, float] = {}
@@ -275,16 +358,18 @@ def calibrate(cfg, variables, batches: Sequence[jax.Array],
     return amax
 
 
-def prepare_quant_params(cfg, variables, amax: Dict[str, float]) -> Params:
+def prepare_quant_params(cfg, variables, amax: Dict[str, float],
+                         scope: str = "branch") -> Params:
     """Offline weight quantization: {site: {kq, wscale, sa, bias}}.
 
-    Only branch-conv sites are quantized; per-output-channel weight scales,
-    per-tensor activation scale from calibration.
+    ``scope`` picks the quantized site set (see ``quant_sites``);
+    per-output-channel weight scales, per-tensor activation scale from
+    calibration.
     """
     p = variables["params"]["backbone"]
     s = variables["batch_stats"]["backbone"]
     out: Params = {}
-    for site in quant_sites(cfg):
+    for site in quant_sites(cfg, scope):
         if site not in amax:
             raise KeyError(f"no calibration record for {site}")
         node_p, node_s = p, s
@@ -317,8 +402,16 @@ def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
 
     @jax.jit
     def infer(variables, qparams, images):
-        x = _stem_layer1(variables, images, pallas=pallas_layer1)
-        xs, _ = apply_stages(cfg, variables, x, mode=trunk, qparams=qparams)
+        # qparams' key set is static under jit: route layer1 through the
+        # quantized walk only when the 'wide' scope quantized it
+        if any(s.startswith("layer1/") for s in qparams):
+            x = _stem(variables, images)
+            xs, _ = apply_trunk(cfg, variables, x, mode=trunk,
+                                qparams=qparams, include_layer1=True)
+        else:
+            x = _stem_layer1(variables, images, pallas=pallas_layer1)
+            xs, _ = apply_stages(cfg, variables, x, mode=trunk,
+                                 qparams=qparams)
         head = prepare_head_params(variables)
         return fused_head_decode_v2(xs, head, interpret=interpret)
 

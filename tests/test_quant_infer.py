@@ -89,10 +89,33 @@ def test_calibrate_covers_all_quant_sites(activated):
     cfg, model, v, x = activated
     amax = calibrate(cfg, v, [np.asarray(x[:2]), np.asarray(x[2:])],
                      pallas=False)
-    sites = quant_sites(cfg)
-    missing = [s for s in sites if s not in amax]
-    assert not missing, f"uncalibrated sites: {missing[:5]}"
+    for scope in ("branch", "wide"):
+        sites = quant_sites(cfg, scope)
+        missing = [s for s in sites if s not in amax]
+        assert not missing, f"[{scope}] uncalibrated sites: {missing[:5]}"
+    assert len(quant_sites(cfg, "wide")) > len(quant_sites(cfg, "branch"))
     assert all(m > 0 for m in amax.values())
+
+
+def test_walk_layer1_matches_folded_chain(activated):
+    """The walk's layer1 in f32 == the folded bottleneck chain used by the
+    shipped stem path (same math, different code path)."""
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        _stem, apply_trunk)
+
+    cfg, model, v, x = activated
+    ref = _stem_layer1(v, x, pallas=False, dtype=jnp.float32)
+    stem = _stem(v, x, dtype=jnp.float32)
+    got, _ = apply_trunk(cfg, v, stem, mode="f32", dtype=jnp.float32,
+                         include_layer1=True)
+    # compare at the stage outputs' first branch after identical stages:
+    # instead compare layer1 output directly by running stages on ref
+    ref_stages, _ = apply_trunk(cfg, v, ref, mode="f32", dtype=jnp.float32,
+                                include_layer1=False)
+    for g, r in zip(got, ref_stages):
+        g32, r32 = np.asarray(g, np.float32), np.asarray(r, np.float32)
+        scale = max(np.abs(r32).max(), 1e-6)
+        assert np.abs(g32 - r32).max() / scale < 2e-4
 
 
 @pytest.mark.slow

@@ -79,18 +79,21 @@ def main():
     t0 = time.time()
     amax = calibrate(cfg, variables, [bufs[0][:16]])
     print(f"calibrated {len(amax)} sites in {time.time()-t0:.0f}s", flush=True)
-    t0 = time.time()
-    qparams = prepare_quant_params(cfg, variables, amax)
-    print(f"prepared int8 weights in {time.time()-t0:.0f}s", flush=True)
-
-    qfn = make_quant_infer(cfg)
-    fps_q = timed_fps(qfn, variables, qparams, bufs)
-    print(f"int8 trunk:     {fps_q:.0f} fps  ({fps_q/fps_bf16:.3f}x)", flush=True)
 
     ref = np.asarray(fast(variables, bufs[0]))
-    got = np.asarray(qfn(variables, qparams, bufs[0]))
-    print(f"decode shift vs bf16 fast path: max {np.abs(got-ref).max():.5f} px, "
-          f"mean {np.abs(got-ref).mean():.5f} px", flush=True)
+    for scope in ("branch", "wide"):
+        t0 = time.time()
+        qparams = prepare_quant_params(cfg, variables, amax, scope=scope)
+        print(f"[{scope}] prepared {len(qparams)} int8 sites in "
+              f"{time.time()-t0:.0f}s", flush=True)
+        qfn = make_quant_infer(cfg)
+        fps_q = timed_fps(qfn, variables, qparams, bufs)
+        print(f"[{scope}] int8 trunk: {fps_q:.0f} fps  "
+              f"({fps_q/fps_bf16:.3f}x)", flush=True)
+        got = np.asarray(qfn(variables, qparams, bufs[0]))
+        print(f"[{scope}] decode shift vs bf16 fast path: "
+              f"max {np.abs(got-ref).max():.5f} px, "
+              f"mean {np.abs(got-ref).mean():.5f} px", flush=True)
 
 
 if __name__ == "__main__":
