@@ -52,7 +52,7 @@ from hrnet_hand_pose_estimation_tpu.config.defaults import POSE_HIGH_RESOLUTION_
 from hrnet_hand_pose_estimation_tpu.models import build_model
 from hrnet_hand_pose_estimation_tpu.ops.decode import decode_heatmaps
 
-BATCH = 128
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 CHUNK = 8          # model steps fused into one dispatch (lax.scan)
 DISPATCHES = 6
 
@@ -105,7 +105,18 @@ def main() -> None:
             calibrate, make_quant_infer, prepare_quant_params)
 
         amax = calibrate(cfg, variables, [bufs[0][:16]])
-        qparams = prepare_quant_params(cfg, variables, amax)
+        qparams = dict(prepare_quant_params(
+            cfg, variables, amax,
+            stem2=os.environ.get("BENCH_STEM2", "0") != "0"))
+        if os.environ.get("BENCH_L1CHAIN", "0") != "0":
+            # layer1 as ONE W8A8 VMEM-resident Pallas chain (int8 MXU rate
+            # on top of the fused-chain HBM cut; same accuracy gate)
+            from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+                LAYER1_CHAIN_KEY)
+            from hrnet_hand_pose_estimation_tpu.ops.pallas.int8_chain import (
+                prepare_layer1_int8)
+
+            qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
         qfn = make_quant_infer(cfg)
 
         def infer_one(variables, images):

@@ -214,15 +214,17 @@ class _Walk:
         return xs
 
 
-def quant_sites(cfg, scope: str = "branch") -> List[str]:
+def quant_sites(cfg, scope: str = "branch", stem2: bool = False) -> List[str]:
     """Sites to quantize.
 
     scope 'branch' — stage2-4 BasicBlock branch convs (the conservative
     default: ~80% of stage FLOPs, exchange topology untouched);
     scope 'wide'  — additionally layer1 bottlenecks, transition convs and
-    the exchange-fusion convs (everything except stem and head).
+    the exchange-fusion convs (everything except stem and head);
+    ``stem2``    — additionally the second stem conv (64->64 3x3/s2; its
+    input is the post-ReLU stem1 output, calibrated like every other site).
     """
-    sites = []
+    sites = ["stem2"] if stem2 else []
     cfgs = stage_cfgs(cfg)
     for sname, stage in zip(("stage2", "stage3", "stage4"), cfgs):
         for m in range(stage.num_modules):
@@ -267,28 +269,31 @@ def quant_sites(cfg, scope: str = "branch") -> List[str]:
 # public API
 # --------------------------------------------------------------------------
 
-def _stem(variables, images, dtype=jnp.bfloat16):
-    """The two stride-2 stem convs only (always bf16: C_in=3)."""
+def _stem(variables, images, dtype=jnp.bfloat16, qparams=None):
+    """The two stride-2 stem convs.  stem1 stays bf16 (C_in=3 — no MXU win
+    and the raw-image range is data-dependent); stem2 (64->64 3x3/s2 at
+    128x128, ~1.3 ms of the serving step) runs W8A8 when ``qparams`` holds a
+    prepared 'stem2' entry (its input is post-ReLU and calibrated)."""
     p = variables["params"]["backbone"]
     s = variables["batch_stats"]["backbone"]
     x = images.astype(dtype)
-    for name in ("stem1", "stem2"):
-        k, b = _fold(p[name], s[name])
-        x = _conv_bf16(x, k, b, stride=2, relu=True, dtype=dtype)
-    return x
+    k, b = _fold(p["stem1"], s["stem1"])
+    x = _conv_bf16(x, k, b, stride=2, relu=True, dtype=dtype)
+    if qparams and "stem2" in qparams:
+        return _conv_int8(x, qparams["stem2"], stride=2, relu=True)
+    k, b = _fold(p["stem2"], s["stem2"])
+    return _conv_bf16(x, k, b, stride=2, relu=True, dtype=dtype)
 
 
 def _stem_layer1(variables, images, pallas: bool = True,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, qparams=None):
     """Stem + layer1, identical to the shipped fast path (Pallas layer1 on
     TPU; ``pallas=False`` runs the folded bottleneck chain in XLA for CPU
-    tests and interpret-mode parity)."""
+    tests and interpret-mode parity).  ``qparams`` routes stem2 through
+    W8A8 when it holds a prepared 'stem2' entry (see ``_stem``)."""
     p = variables["params"]["backbone"]
     s = variables["batch_stats"]["backbone"]
-    x = images.astype(dtype)
-    for name in ("stem1", "stem2"):
-        k, b = _fold(p[name], s[name])
-        x = _conv_bf16(x, k, b, stride=2, relu=True, dtype=dtype)
+    x = _stem(variables, images, dtype=dtype, qparams=qparams)
     if pallas:
         from ..models.hrnet import _pallas_layer1_apply
 
@@ -345,9 +350,17 @@ def calibrate(cfg, variables, batches: Sequence[jax.Array],
         # calibrate through the folded layer1 walk so layer1/transition/
         # fusion sites get amax records too (the 'wide' scope needs them;
         # activations match the pallas path within bf16 noise)
-        x = _stem(variables, images)
+        p = variables["params"]["backbone"]
+        s = variables["batch_stats"]["backbone"]
+        x = images.astype(jnp.bfloat16)
+        k, b = _fold(p["stem1"], s["stem1"])
+        x = _conv_bf16(x, k, b, stride=2, relu=True)
+        stem2_amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        k, b = _fold(p["stem2"], s["stem2"])
+        x = _conv_bf16(x, k, b, stride=2, relu=True)
         _, batch_amax = apply_trunk(cfg, variables, x, mode="calibrate",
                                     include_layer1=True)
+        batch_amax["stem2"] = stem2_amax
         return batch_amax
 
     amax: Dict[str, float] = {}
@@ -359,17 +372,18 @@ def calibrate(cfg, variables, batches: Sequence[jax.Array],
 
 
 def prepare_quant_params(cfg, variables, amax: Dict[str, float],
-                         scope: str = "branch") -> Params:
+                         scope: str = "branch",
+                         stem2: bool = False) -> Params:
     """Offline weight quantization: {site: {kq, wscale, sa, bias}}.
 
-    ``scope`` picks the quantized site set (see ``quant_sites``);
+    ``scope``/``stem2`` pick the quantized site set (see ``quant_sites``);
     per-output-channel weight scales, per-tensor activation scale from
     calibration.
     """
     p = variables["params"]["backbone"]
     s = variables["batch_stats"]["backbone"]
     out: Params = {}
-    for site in quant_sites(cfg, scope):
+    for site in quant_sites(cfg, scope, stem2=stem2):
         if site not in amax:
             raise KeyError(f"no calibration record for {site}")
         node_p, node_s = p, s
@@ -390,26 +404,48 @@ def prepare_quant_params(cfg, variables, amax: Dict[str, float],
     return out
 
 
+LAYER1_CHAIN_KEY = "_layer1_chain"
+
+
 def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
                      trunk: str = "quant"):
     """Jitted int8-trunk serving forward: (variables, qparams, images) ->
     (B, K, 2) decoded heatmap coords.  Head runs the shipped Pallas
     fused-head-decode v2; stem/layer1 the shipped bf16/Pallas path.
     ``trunk='f32'`` runs the same functional walk unquantized (the parity
-    reference for the <0.1 px gate)."""
+    reference for the <0.1 px gate).
+
+    If ``qparams[LAYER1_CHAIN_KEY]`` is present (the flat tuple from
+    ``ops.pallas.int8_chain.prepare_layer1_int8``), layer1 runs as ONE
+    VMEM-resident W8A8 Pallas kernel (int8 MXU rate + fused-chain HBM
+    traffic; the bf16 Pallas chain or the per-site int8 walk are the
+    fallbacks)."""
     from ..ops.pallas.fused_head_decode import (fused_head_decode_v2,
                                                 prepare_head_params)
+    from ..ops.pallas.int8_chain import fused_bottleneck_chain_int8
 
     @jax.jit
     def infer(variables, qparams, images):
-        # qparams' key set is static under jit: route layer1 through the
-        # quantized walk only when the 'wide' scope quantized it
-        if any(s.startswith("layer1/") for s in qparams):
-            x = _stem(variables, images)
+        # qparams' KEY SET is static under jit: it routes layer1 to the
+        # int8 Pallas chain / the quantized walk ('wide' scope) / bf16
+        if LAYER1_CHAIN_KEY in qparams:
+            chain_flat = qparams[LAYER1_CHAIN_KEY]
+            rest = {k: v for k, v in qparams.items()
+                    if k != LAYER1_CHAIN_KEY}
+            x = _stem(variables, images, qparams=rest)
+            x = fused_bottleneck_chain_int8(
+                x, tuple(chain_flat),
+                shortcut_flags=(True, False, False, False),
+                out_channels=x.shape[-1] * 4, interpret=interpret)
+            xs, _ = apply_stages(cfg, variables, x, mode=trunk,
+                                 qparams=rest)
+        elif any(s.startswith("layer1/") for s in qparams):
+            x = _stem(variables, images, qparams=qparams)
             xs, _ = apply_trunk(cfg, variables, x, mode=trunk,
                                 qparams=qparams, include_layer1=True)
         else:
-            x = _stem_layer1(variables, images, pallas=pallas_layer1)
+            x = _stem_layer1(variables, images, pallas=pallas_layer1,
+                             qparams=qparams)
             xs, _ = apply_stages(cfg, variables, x, mode=trunk,
                                  qparams=qparams)
         head = prepare_head_params(variables)

@@ -118,6 +118,32 @@ def test_walk_layer1_matches_folded_chain(activated):
         assert np.abs(g32 - r32).max() / scale < 2e-4
 
 
+def test_stem2_int8_activation_parity(activated):
+    """W8A8 stem2 ('stem2' in qparams) stays within per-tensor quantization
+    noise of the bf16 stem output (both per-element and in relative energy;
+    a wrong scale/stride/pad would blow past these by orders of magnitude)."""
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import _stem
+
+    cfg, model, v, x = activated
+    amax = calibrate(cfg, v, [np.asarray(x)], pallas=False)
+    assert "stem2" in amax
+    qparams = prepare_quant_params(cfg, v, amax, stem2=True)
+    assert "stem2" in qparams and qparams["stem2"]["kq"].shape[0] == 3
+
+    want = np.asarray(_stem(v, x), np.float32)
+    got = np.asarray(_stem(v, x, qparams=qparams), np.float32)
+    assert got.shape == want.shape
+    # per-tensor int8 on the input + per-channel weights: error bounded by
+    # a few input quantization steps through a 576-tap conv
+    scale = max(np.abs(want).max(), 1e-6)
+    rel = np.abs(got - want).max() / scale
+    assert rel < 0.05, f"stem2 int8 relative error {rel:.4f}"
+    # ~1.6% on this He-boosted random fixture (outlier-heavy activations);
+    # a wrong scale/stride/pad measures O(100%)
+    energy = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-6)
+    assert energy < 0.03, f"stem2 int8 energy ratio {energy:.5f}"
+
+
 @pytest.mark.slow
 def test_int8_trunk_decode_gate_trained(tiny_cfg):
     """The accuracy gate, on TRAINED weights.
@@ -187,10 +213,25 @@ def test_int8_trunk_decode_gate_trained(tiny_cfg):
     ref_fn = ref_fn0
     q_fn = make_quant_infer(cfg, interpret=True, pallas_layer1=False,
                             trunk="quant")
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        LAYER1_CHAIN_KEY)
+    from hrnet_hand_pose_estimation_tpu.ops.pallas.int8_chain import (
+        prepare_layer1_int8)
+
+    # the shipped serving config: branch scope + int8 Pallas layer1 chain
+    # + W8A8 stem2 (bench.py BENCH defaults)
+    qparams_chain = dict(prepare_quant_params(cfg, trained, amax,
+                                              stem2=True))
+    qparams_chain[LAYER1_CHAIN_KEY] = prepare_layer1_int8(trained, amax)[0]
     for x in (x_train, x_held):
         ref = np.asarray(ref_fn(trained, {}, x))
         got = np.asarray(q_fn(trained, qparams, x))
         shift = np.abs(got - ref).max()
         assert shift < 0.1, f"int8 decode shift {shift:.4f} px >= 0.1 px"
+        # int8 Pallas layer1 chain + stem2 path: same gate
+        got_chain = np.asarray(q_fn(trained, qparams_chain, x))
+        shift = np.abs(got_chain - ref).max()
+        assert shift < 0.1, (
+            f"int8 chain+stem2 decode shift {shift:.4f} px >= 0.1 px")
     # trained-regime sanity: decode varies across samples (non-degenerate)
     assert np.asarray(ref_fn(trained, {}, x_train)).std(axis=0).max() > 0.5

@@ -81,19 +81,34 @@ def main():
     print(f"calibrated {len(amax)} sites in {time.time()-t0:.0f}s", flush=True)
 
     ref = np.asarray(fast(variables, bufs[0]))
+
+    def report(tag, qparams):
+        qfn = make_quant_infer(cfg)
+        fps_q = timed_fps(qfn, variables, qparams, bufs)
+        print(f"[{tag}] int8 trunk: {fps_q:.0f} fps  "
+              f"({fps_q/fps_bf16:.3f}x)", flush=True)
+        got = np.asarray(qfn(variables, qparams, bufs[0]))
+        print(f"[{tag}] decode shift vs bf16 fast path: "
+              f"max {np.abs(got-ref).max():.5f} px, "
+              f"mean {np.abs(got-ref).mean():.5f} px", flush=True)
+
     for scope in ("branch", "wide"):
         t0 = time.time()
         qparams = prepare_quant_params(cfg, variables, amax, scope=scope)
         print(f"[{scope}] prepared {len(qparams)} int8 sites in "
               f"{time.time()-t0:.0f}s", flush=True)
-        qfn = make_quant_infer(cfg)
-        fps_q = timed_fps(qfn, variables, qparams, bufs)
-        print(f"[{scope}] int8 trunk: {fps_q:.0f} fps  "
-              f"({fps_q/fps_bf16:.3f}x)", flush=True)
-        got = np.asarray(qfn(variables, qparams, bufs[0]))
-        print(f"[{scope}] decode shift vs bf16 fast path: "
-              f"max {np.abs(got-ref).max():.5f} px, "
-              f"mean {np.abs(got-ref).mean():.5f} px", flush=True)
+        report(scope, qparams)
+
+    # the shipped serving config: branch scope + int8 Pallas layer1 chain
+    # + W8A8 stem2 (bench.py defaults)
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        LAYER1_CHAIN_KEY)
+    from hrnet_hand_pose_estimation_tpu.ops.pallas.int8_chain import (
+        prepare_layer1_int8)
+
+    qparams = dict(prepare_quant_params(cfg, variables, amax, stem2=True))
+    qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
+    report("branch+l1chain+stem2", qparams)
 
 
 if __name__ == "__main__":
