@@ -17,8 +17,11 @@ serving-setup steps and excluded from the timed region, exactly as compile
 time is.  Accuracy is gated in tests/test_quant_infer.py: on trained
 weights the int8 path must decode within 0.1 heatmap px of the bf16 path
 (train AND held-out batches); measured TPU shift vs the bf16 fast path is
-0.0 px (tools/perf_quant_e2e.py).  Set BENCH_BF16=1 for the unquantized
-bf16 fast path (round-2 configuration, ~4500 fps).
+0.0 px (tools/perf_quant_e2e.py).  Layer1 runs as ONE W8A8 VMEM-resident
+Pallas chain (ops/pallas/int8_chain.py, measured 6344 vs 6078 fps with the
+bf16 Pallas layer1; BENCH_L1CHAIN=0 disables).  Set BENCH_BF16=1 for the
+unquantized bf16 fast path (round-2 configuration, ~4500 fps);
+BENCH_STEM2=1 additionally quantizes the second stem conv.
 
 Methodology note: this environment reaches the TPU through a relay with a
 ~30 ms round-trip, ``block_until_ready`` can report readiness before device
@@ -108,7 +111,7 @@ def main() -> None:
         qparams = dict(prepare_quant_params(
             cfg, variables, amax,
             stem2=os.environ.get("BENCH_STEM2", "0") != "0"))
-        if os.environ.get("BENCH_L1CHAIN", "0") != "0":
+        if os.environ.get("BENCH_L1CHAIN", "1") != "0":
             # layer1 as ONE W8A8 VMEM-resident Pallas chain (int8 MXU rate
             # on top of the fused-chain HBM cut; same accuracy gate)
             from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
@@ -117,7 +120,21 @@ def main() -> None:
                 prepare_layer1_int8)
 
             qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
-        qfn = make_quant_infer(cfg)
+        if os.environ.get("BENCH_UINT8", "0") != "0":
+            # serving-realistic raw-uint8 input, normalized on device (4x
+            # less input traffic than pre-normalized f32)
+            from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+                IMAGENET_MEAN, IMAGENET_STD)
+
+            qfn = make_quant_infer(
+                cfg, input_norm=(IMAGENET_MEAN, IMAGENET_STD))
+            mean = np.asarray(IMAGENET_MEAN, np.float32)
+            std = np.asarray(IMAGENET_STD, np.float32)
+            bufs = jnp.asarray(np.clip(
+                (np.asarray(bufs) * std + mean) * 255.0, 0, 255
+            ).astype(np.uint8))
+        else:
+            qfn = make_quant_infer(cfg)
 
         def infer_one(variables, images):
             return qfn(variables, qparams, images)

@@ -406,9 +406,13 @@ def prepare_quant_params(cfg, variables, amax: Dict[str, float],
 
 LAYER1_CHAIN_KEY = "_layer1_chain"
 
+# ImageNet normalization (reference lib/dataset/*: transforms.Normalize)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
 
 def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
-                     trunk: str = "quant"):
+                     trunk: str = "quant", input_norm=None):
     """Jitted int8-trunk serving forward: (variables, qparams, images) ->
     (B, K, 2) decoded heatmap coords.  Head runs the shipped Pallas
     fused-head-decode v2; stem/layer1 the shipped bf16/Pallas path.
@@ -419,13 +423,26 @@ def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
     ``ops.pallas.int8_chain.prepare_layer1_int8``), layer1 runs as ONE
     VMEM-resident W8A8 Pallas kernel (int8 MXU rate + fused-chain HBM
     traffic; the bf16 Pallas chain or the per-site int8 walk are the
-    fallbacks)."""
+    fallbacks).
+
+    ``input_norm=(mean, std)`` makes the serving entry take RAW uint8
+    images (B, H, W, 3) and normalize on device — a 4x cut of the
+    host->device/input-HBM traffic vs pre-normalized f32 (the cast+affine
+    fuses into the stem conv's input pipeline).  Pass
+    (IMAGENET_MEAN, IMAGENET_STD) for the reference datasets' transform."""
     from ..ops.pallas.fused_head_decode import (fused_head_decode_v2,
                                                 prepare_head_params)
     from ..ops.pallas.int8_chain import fused_bottleneck_chain_int8
 
+    if input_norm is not None:
+        _mean = jnp.asarray(input_norm[0], jnp.float32) * 255.0
+        _inv_std = 1.0 / (jnp.asarray(input_norm[1], jnp.float32) * 255.0)
+
     @jax.jit
     def infer(variables, qparams, images):
+        if input_norm is not None:
+            images = ((images.astype(jnp.float32) - _mean)
+                      * _inv_std).astype(jnp.bfloat16)
         # qparams' KEY SET is static under jit: it routes layer1 to the
         # int8 Pallas chain / the quantized walk ('wide' scope) / bf16
         if LAYER1_CHAIN_KEY in qparams:

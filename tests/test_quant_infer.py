@@ -144,6 +144,30 @@ def test_stem2_int8_activation_parity(activated):
     assert energy < 0.03, f"stem2 int8 energy ratio {energy:.5f}"
 
 
+def test_uint8_input_norm_matches_prenormalized(activated):
+    """make_quant_infer(input_norm=...) on raw uint8 == the default entry
+    on host-prenormalized f32 of the same pixels (identical decode: the
+    on-device normalize is the same affine at the same precision point)."""
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        IMAGENET_MEAN, IMAGENET_STD)
+
+    cfg, model, v, x = activated
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, size=(2, 64, 64, 3)).astype(np.uint8)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    xf = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    amax = calibrate(cfg, v, [xf], pallas=False)
+    qparams = prepare_quant_params(cfg, v, amax)
+    base = make_quant_infer(cfg, interpret=True, pallas_layer1=False)
+    u8fn = make_quant_infer(cfg, interpret=True, pallas_layer1=False,
+                            input_norm=(IMAGENET_MEAN, IMAGENET_STD))
+    want = np.asarray(base(v, qparams, jnp.asarray(xf)))
+    got = np.asarray(u8fn(v, qparams, jnp.asarray(u8)))
+    np.testing.assert_allclose(got, want, atol=0.2)  # bf16 cast-point noise
+
+
 @pytest.mark.slow
 def test_int8_trunk_decode_gate_trained(tiny_cfg):
     """The accuracy gate, on TRAINED weights.
