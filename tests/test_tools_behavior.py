@@ -216,3 +216,34 @@ def test_wgan_trainer_behaviour(tmp_path):
     # N_CRITIC steps per generator step over the whole epoch
     n_batches = sum(len(l) for l in loaders.values())
     assert int(trainer.critic_state.step) == 2 * n_batches
+
+
+def test_inference_tool_std_serving(tmp_path, rng):
+    """tools/inference.py --serving std writes a skeleton overlay per image
+    (reference tools/inference.py:27-246 image mode)."""
+    img_dir, out = tmp_path / "imgs", tmp_path / "out"
+    os.makedirs(img_dir)
+    cv2.imwrite(str(img_dir / "a.png"),
+                rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8))
+    r = _run([os.path.join(TOOLS, "inference.py"),
+              "--cfg", os.path.join(REPO, "experiments/synthetic_smoke.yaml"),
+              "--image_path", str(img_dir), "--out_dir", str(out)])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (out / "pred_a.png").exists()
+
+
+@pytest.mark.slow
+def test_inference_tool_int8_serving(tmp_path, rng):
+    """--serving int8 drives the calibrated W8A8 trunk (+ Pallas layer1
+    chain + stem2, interpret mode on CPU) end to end through the CLI."""
+    img_dir, out = tmp_path / "imgs", tmp_path / "out"
+    os.makedirs(img_dir)
+    for name in ("a", "b"):
+        cv2.imwrite(str(img_dir / f"{name}.png"),
+                    rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8))
+    r = _run([os.path.join(TOOLS, "inference.py"),
+              "--cfg", os.path.join(REPO, "experiments/synthetic_smoke.yaml"),
+              "--image_path", str(img_dir), "--out_dir", str(out),
+              "--serving", "int8"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (out / "pred_a.png").exists() and (out / "pred_b.png").exists()

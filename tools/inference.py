@@ -29,7 +29,8 @@ def predict_one_img(fwd, variables, img_bgr, cfg):
     inp = jnp.asarray(normalize_image(rgb)[None])
     heatmaps, pose2d = fwd(variables, inp)
     # scale heatmap coords to the resized input (reference inference.py:139)
-    return np.asarray(pose2d)[0] * (size / hm), np.asarray(heatmaps)[0]
+    hm_out = None if heatmaps is None else np.asarray(heatmaps)[0]
+    return np.asarray(pose2d)[0] * (size / hm), hm_out
 
 
 def draw_skeleton(img_bgr, pose2d):
@@ -47,11 +48,49 @@ def draw_skeleton(img_bgr, pose2d):
     return img_bgr
 
 
+def make_serving_fn(cfg, variables, mode: str, calib_images, interpret: bool):
+    """Build the forward for --serving: 'std' (plain model forward), 'fast'
+    (bf16 Pallas fast path), 'int8' (W8A8 trunk + Pallas layer1 chain +
+    stem2, calibrated on the provided frames — the serving contract is
+    calibration data ~ serving data).  All return (heatmaps_or_None,
+    pose2d) in heatmap pixels like make_forward_fn."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    if mode == "fast":
+        from hrnet_hand_pose_estimation_tpu.core.fast_infer import (
+            make_fast_infer)
+
+        fast = make_fast_infer(cfg, pallas_layer1=not interpret,
+                               interpret=interpret)
+        return lambda v, x: (None, fast(v, x))
+    if mode == "int8":
+        from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+            LAYER1_CHAIN_KEY, calibrate, make_quant_infer,
+            prepare_quant_params)
+        from hrnet_hand_pose_estimation_tpu.ops.pallas.int8_chain import (
+            prepare_layer1_int8)
+
+        amax = calibrate(cfg, variables, [np.stack(calib_images)],
+                         pallas=not interpret)
+        qparams = dict(prepare_quant_params(cfg, variables, amax,
+                                            stem2=True))
+        qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
+        qfn = make_quant_infer(cfg, interpret=interpret,
+                               pallas_layer1=not interpret)
+        return lambda v, x: (None, qfn(v, qparams, x))
+    raise SystemExit(f"unknown --serving mode: {mode}")
+
+
 def main() -> None:
     p = base_parser(__doc__)
     p.add_argument("--image_path", default="", help="image file or directory")
     p.add_argument("--video_path", default="", help="video file")
     p.add_argument("--out_dir", default="inference_out")
+    p.add_argument("--serving", default="std",
+                   choices=("std", "fast", "int8"),
+                   help="forward path: std model, bf16 Pallas fast path, or "
+                        "the calibrated int8 W8A8 serving trunk")
     args = p.parse_args()
     setup_platform(args.platform)
 
@@ -73,7 +112,39 @@ def main() -> None:
     else:
         variables = jax.jit(model.init, static_argnums=(2,))(
             jax.random.key(0), jnp.zeros((1, size, size, 3)), False)
-    fwd = make_forward_fn(cfg, model)
+    if args.serving == "std":
+        fwd = make_forward_fn(cfg, model)
+    else:
+        from hrnet_hand_pose_estimation_tpu.data.transforms import (
+            normalize_image)
+
+        # calibration frames for int8 = the first few serving inputs
+        calib = []
+        if args.video_path:
+            cap = cv2.VideoCapture(args.video_path)
+            while len(calib) < 8:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                rgb = cv2.cvtColor(cv2.resize(frame, (size, size)),
+                                   cv2.COLOR_BGR2RGB)
+                calib.append(normalize_image(rgb))
+            cap.release()
+        elif args.image_path:
+            cand = ([os.path.join(args.image_path, f)
+                     for f in sorted(os.listdir(args.image_path))]
+                    if os.path.isdir(args.image_path) else [args.image_path])
+            for path in cand[:8]:
+                img = cv2.imread(path)
+                if img is None:
+                    continue
+                rgb = cv2.cvtColor(cv2.resize(img, (size, size)),
+                                   cv2.COLOR_BGR2RGB)
+                calib.append(normalize_image(rgb))
+        if not calib:
+            raise SystemExit("--serving int8/fast needs at least one input")
+        interpret = jax.devices()[0].platform == "cpu"
+        fwd = make_serving_fn(cfg, variables, args.serving, calib, interpret)
 
     os.makedirs(args.out_dir, exist_ok=True)
 
