@@ -412,7 +412,7 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
-                     trunk: str = "quant", input_norm=None):
+                     trunk: str = "quant", input_norm=None, mesh=None):
     """Jitted int8-trunk serving forward: (variables, qparams, images) ->
     (B, K, 2) decoded heatmap coords.  Head runs the shipped Pallas
     fused-head-decode v2; stem/layer1 the shipped bf16/Pallas path.
@@ -429,7 +429,13 @@ def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
     images (B, H, W, 3) and normalize on device — a 4x cut of the
     host->device/input-HBM traffic vs pre-normalized f32 (the cast+affine
     fuses into the stem conv's input pipeline).  Pass
-    (IMAGENET_MEAN, IMAGENET_STD) for the reference datasets' transform."""
+    (IMAGENET_MEAN, IMAGENET_STD) for the reference datasets' transform.
+
+    ``mesh`` scales serving across chips: the whole forward (Pallas
+    kernels included) runs per-shard under ``shard_map`` with the batch
+    sharded on the mesh's 'data' axis and params/qparams replicated — the
+    multi-chip equivalent of the reference's DataParallel eval
+    (reference tools/evaluate_2D.py:176)."""
     from ..ops.pallas.fused_head_decode import (fused_head_decode_v2,
                                                 prepare_head_params)
     from ..ops.pallas.int8_chain import fused_bottleneck_chain_int8
@@ -438,7 +444,6 @@ def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
         _mean = jnp.asarray(input_norm[0], jnp.float32) * 255.0
         _inv_std = 1.0 / (jnp.asarray(input_norm[1], jnp.float32) * 255.0)
 
-    @jax.jit
     def infer(variables, qparams, images):
         if input_norm is not None:
             images = ((images.astype(jnp.float32) - _mean)
@@ -468,4 +473,13 @@ def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
         head = prepare_head_params(variables)
         return fused_head_decode_v2(xs, head, interpret=interpret)
 
-    return infer
+    if mesh is None:
+        return jax.jit(infer)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharded = shard_map(infer, mesh=mesh,
+                        in_specs=(P(), P(), P("data")),
+                        out_specs=P("data"), check_vma=False)
+    return jax.jit(sharded)

@@ -169,6 +169,33 @@ def test_quant_infer_layer1_chain_plumbing(activated):
     assert np.isfinite(out).all()
 
 
+def test_quant_infer_mesh_sharded_serving(activated):
+    """make_quant_infer(mesh=...) shards the serving batch over the mesh's
+    'data' axis (shard_map, Pallas kernels per shard) and matches the
+    unsharded entry — the multi-chip serving equivalent of the reference's
+    DataParallel eval (reference tools/evaluate_2D.py:176)."""
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        LAYER1_CHAIN_KEY, calibrate, make_quant_infer, prepare_quant_params)
+    from hrnet_hand_pose_estimation_tpu.parallel.mesh import make_mesh
+
+    cfg, v, x = activated
+    x8 = jnp.concatenate([x] * 4)            # batch 8 = one per device
+    amax = calibrate(cfg, v, [np.asarray(x)], pallas=False)
+    qparams = dict(prepare_quant_params(cfg, v, amax, stem2=True))
+    qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(v, amax)[0]
+
+    base = make_quant_infer(cfg, interpret=True, pallas_layer1=False)
+    want = np.asarray(base(v, qparams, x8))
+
+    mesh = make_mesh(("data",), (8,))
+    sharded = make_quant_infer(cfg, interpret=True, pallas_layer1=False,
+                               mesh=mesh)
+    out = sharded(v, qparams, x8)
+    assert out.sharding.spec[0] == "data", (
+        f"serving output not batch-sharded: {out.sharding}")
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
+
 def test_prepare_branch_int8_matches_quant_walk(activated):
     from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
         _Walk, _stem_layer1, calibrate, prepare_quant_params, stage_cfgs)
