@@ -26,11 +26,19 @@ from .metrics import PoseMetricState, default_thresholds_2d, pck_at, pck_auc
 
 
 class Evaluator2D:
-    def __init__(self, cfg, model, variables, mesh=None):
+    def __init__(self, cfg, model, variables, mesh=None, serving="std"):
+        """``serving='int8'`` evaluates the calibrated W8A8 serving path
+        (quant trunk + Pallas layer1 chain + stem2) instead of the standard
+        forward — the deployment-accuracy check for the quantized model.
+        Calibration uses the first eval batch (serving contract:
+        calibration data ~ serving data)."""
         self.cfg = cfg
         self.model = model
         self.variables = variables
         self.mesh = mesh
+        self.serving = serving
+        self._qfn = None
+        self._qparams = None
         use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
 
         def forward(variables, images):
@@ -55,6 +63,23 @@ class Evaluator2D:
             self._put_images = lambda x: jax.device_put(np.asarray(x), img_sh)
         self.thresholds = default_thresholds_2d()
 
+    def _build_serving(self, calib_images) -> None:
+        """Calibrate + build the int8 serving forward on first use."""
+        from ..ops.pallas.int8_chain import prepare_layer1_int8
+        from .quant_infer import (LAYER1_CHAIN_KEY, calibrate,
+                                  make_quant_infer, prepare_quant_params)
+
+        on_cpu = jax.devices()[0].platform == "cpu"
+        amax = calibrate(self.cfg, self.variables, [np.asarray(calib_images)],
+                         pallas=not on_cpu)
+        qparams = dict(prepare_quant_params(self.cfg, self.variables, amax,
+                                            stem2=True))
+        qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(self.variables, amax)[0]
+        self._qparams = qparams
+        self._qfn = make_quant_infer(self.cfg, interpret=on_cpu,
+                                     pallas_layer1=not on_cpu,
+                                     mesh=self.mesh)
+
     def run(self, loader, dataset_name: str = "", output_dir: Optional[str] = None
             ) -> Dict[str, float]:
         cfg = self.cfg
@@ -75,8 +100,13 @@ class Evaluator2D:
         infer_time = [0, 0.0]
         for i, batch in enumerate(loader):
             images = self._put_images(batch["imgs"])
+            if self.serving == "int8" and self._qfn is None:
+                self._build_serving(batch["imgs"])
             t0 = time.time()
-            heatmaps, pose2d_pred = self.forward(self.variables, images)
+            if self._qfn is not None:
+                pose2d_pred = self._qfn(self.variables, self._qparams, images)
+            else:
+                _, pose2d_pred = self.forward(self.variables, images)
             pose2d_pred = np.asarray(pose2d_pred)
             if i >= warmup:
                 infer_time[0] += 1

@@ -343,3 +343,27 @@ def test_trainer_steps_per_dispatch(tiny_cfg, tmp_path):
     avgs = tr.train_epoch(epoch=1)
     assert avgs and np.isfinite(avgs["total_loss"])
     assert tr.train_global_steps == 4
+
+
+def test_evaluator2d_int8_serving(tiny_cfg, tmp_path):
+    """Evaluator2D(serving='int8') calibrates on the first batch and
+    evaluates the W8A8 serving path (quant trunk + Pallas layer1 chain +
+    stem2) end to end — the deployment-accuracy check surface
+    (tools/evaluate_2d.py --serving int8)."""
+    from hrnet_hand_pose_estimation_tpu.core.evaluator import Evaluator2D
+    from hrnet_hand_pose_estimation_tpu.data.synthetic import SyntheticDataset
+    from hrnet_hand_pose_estimation_tpu.data.pipeline import DataLoader
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+
+    model = build_model(tiny_cfg)
+    ds = SyntheticDataset(length=8, img_size=64, hm_size=16)
+    dl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=0)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), False)
+
+    ev = Evaluator2D(tiny_cfg, model, variables, serving="int8")
+    results = ev.run(dl, dataset_name="Synthetic", output_dir=str(tmp_path))
+    assert ev._qfn is not None and ev._qparams  # int8 path actually built
+    assert any(k == "_layer1_chain" for k in ev._qparams)
+    assert np.isfinite(results["EPE_px"])
+    assert (tmp_path / f"eval2D_results_{tiny_cfg.EXP_NAME}").exists()

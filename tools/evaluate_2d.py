@@ -17,6 +17,9 @@ from _common import base_parser, load_cfg, setup_platform
 def main() -> None:
     p = base_parser(__doc__)
     p.add_argument("--out", default="tools", help="artifact directory root")
+    p.add_argument("--serving", default="std", choices=("std", "int8"),
+                   help="evaluate the standard forward or the calibrated "
+                        "int8 W8A8 serving path (deployment-accuracy check)")
     args = p.parse_args()
     setup_platform(args.platform)
 
@@ -51,7 +54,8 @@ def main() -> None:
     if mesh.size == 1:
         mesh = None
 
-    evaluator = Evaluator2D(cfg, model, variables, mesh=mesh)
+    evaluator = Evaluator2D(cfg, model, variables, mesh=mesh,
+                            serving=args.serving)
     results = evaluator.run(loader, dataset_name=name, output_dir=args.out)
     print(json.dumps(results, indent=2))
 
