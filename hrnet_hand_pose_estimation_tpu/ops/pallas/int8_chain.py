@@ -27,7 +27,7 @@ BasicBlock branches lib/models/pose_hrnet.py:28-57 of the upstream repo.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
