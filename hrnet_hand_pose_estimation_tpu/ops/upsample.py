@@ -59,8 +59,3 @@ def upsample_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> ja
     y = jnp.einsum("Hh,bhwc->bHwc", wh, x.astype(jnp.float32), precision=hp)
     y = jnp.einsum("Ww,bHwc->bHWc", ww, y, precision=hp)
     return y.astype(dtype)
-
-
-def downsample_stride2_pick(x: jax.Array, factor: int) -> jax.Array:
-    """Strided subsampling (top-left pick) — utility for tests."""
-    return x[:, ::factor, ::factor, :]
