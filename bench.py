@@ -120,6 +120,12 @@ def main() -> None:
                 prepare_layer1_int8)
 
             qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
+        if os.environ.get("BENCH_INT8HEAD", "0") != "0":
+            # int8 stage outputs into the head (halved head input reads)
+            from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+                HEAD_SCALES_KEY, prepare_head_input_scales)
+
+            qparams[HEAD_SCALES_KEY] = prepare_head_input_scales(amax)
         if os.environ.get("BENCH_UINT8", "0") != "0":
             # serving-realistic raw-uint8 input, normalized on device (4x
             # less input traffic than pre-normalized f32)

@@ -358,9 +358,14 @@ def calibrate(cfg, variables, batches: Sequence[jax.Array],
         stem2_amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
         k, b = _fold(p["stem2"], s["stem2"])
         x = _conv_bf16(x, k, b, stride=2, relu=True)
-        _, batch_amax = apply_trunk(cfg, variables, x, mode="calibrate",
-                                    include_layer1=True)
+        xs, batch_amax = apply_trunk(cfg, variables, x, mode="calibrate",
+                                     include_layer1=True)
         batch_amax["stem2"] = stem2_amax
+        # the four stage-4 outputs feed the head: record their ranges so
+        # the head can take int8 inputs (post-ReLU, like every other site)
+        for i, xi in enumerate(xs):
+            batch_amax[f"head_in{i}"] = jnp.max(jnp.abs(xi)).astype(
+                jnp.float32)
         return batch_amax
 
     amax: Dict[str, float] = {}
@@ -405,10 +410,21 @@ def prepare_quant_params(cfg, variables, amax: Dict[str, float],
 
 
 LAYER1_CHAIN_KEY = "_layer1_chain"
+HEAD_SCALES_KEY = "_head_scales"
 
 # ImageNet normalization (reference lib/dataset/*: transforms.Normalize)
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def prepare_head_input_scales(amax: Dict[str, float]) -> Tuple[jax.Array, ...]:
+    """Per-branch symmetric int8 scales for the head's four stage-4 inputs
+    (calibration records ``head_in{i}``).  Store under
+    ``qparams[HEAD_SCALES_KEY]`` to serve the head from int8 stage outputs
+    (halved head input reads; the head is input-read-bound, PERF.md)."""
+    return tuple(
+        jnp.float32(max(float(amax[f"head_in{i}"]), 1e-12) / 127.0)
+        for i in range(4))
 
 
 def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
@@ -448,8 +464,11 @@ def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
         if input_norm is not None:
             images = ((images.astype(jnp.float32) - _mean)
                       * _inv_std).astype(jnp.bfloat16)
+        head_scales = qparams.get(HEAD_SCALES_KEY)
         # qparams' KEY SET is static under jit: it routes layer1 to the
         # int8 Pallas chain / the quantized walk ('wide' scope) / bf16
+        qparams = {k: v for k, v in qparams.items()
+                   if k != HEAD_SCALES_KEY}
         if LAYER1_CHAIN_KEY in qparams:
             chain_flat = qparams[LAYER1_CHAIN_KEY]
             rest = {k: v for k, v in qparams.items()
@@ -471,6 +490,15 @@ def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
             xs, _ = apply_stages(cfg, variables, x, mode=trunk,
                                  qparams=qparams)
         head = prepare_head_params(variables)
+        if head_scales is not None:
+            # int8 stage outputs: the quantize fuses into the producers'
+            # epilogues, the head reads half the bytes (dequant is folded
+            # into the head kernel slices inside fused_head_decode_v2)
+            xs = [jnp.clip(jnp.round(x.astype(jnp.float32) / sa),
+                           -127, 127).astype(jnp.int8)
+                  for x, sa in zip(xs, head_scales)]
+            return fused_head_decode_v2(xs, head, interpret=interpret,
+                                        input_scales=head_scales)
         return fused_head_decode_v2(xs, head, interpret=interpret)
 
     if mesh is None:

@@ -161,9 +161,15 @@ def _kernel_v2(temp_ref, x0_ref, x1_ref, x2_ref, x3_ref,
     hp = jnp.float32
     h0, w0 = hw_shapes[0]
 
+    def load(x_ref, n):
+        x = x_ref[n]
+        # int8 inputs (halved HBM reads): dequant scales are folded into the
+        # per-branch kernel slices offline, so a plain cast suffices here
+        return x.astype(jnp.bfloat16) if x.dtype == jnp.int8 else x
+
     for n in range(spp):
         # branch 0 at full res: (HW, C0) @ (C0, 480)
-        acc = jnp.dot(x0_ref[n], w0_ref[...], preferred_element_type=hp)
+        acc = jnp.dot(load(x0_ref, n), w0_ref[...], preferred_element_type=hp)
 
         # per-branch W-mixed row tiles: t[h] = Uw @ y[h]  -- (w0, 480) each
         branch_rows = []
@@ -171,7 +177,7 @@ def _kernel_v2(temp_ref, x0_ref, x1_ref, x2_ref, x3_ref,
                 (x1_ref, w1_ref, uw1_ref, hw_shapes[1]),
                 (x2_ref, w2_ref, uw2_ref, hw_shapes[2]),
                 (x3_ref, w3_ref, uw3_ref, hw_shapes[3])):
-            y = jnp.dot(x_ref[n], w_ref[...],
+            y = jnp.dot(load(x_ref, n), w_ref[...],
                         preferred_element_type=hp).astype(jnp.bfloat16)
             tiles = [jnp.dot(uw_ref[...], y[r * w:(r + 1) * w, :],
                              preferred_element_type=hp) for r in range(h)]
@@ -210,25 +216,43 @@ def _kernel_v2(temp_ref, x0_ref, x1_ref, x2_ref, x3_ref,
 @partial(jax.jit, static_argnames=("interpret", "samples_per_program"))
 def fused_head_decode_v2(xs: Sequence[jax.Array], params: HeadParams,
                          interpret: bool = False,
-                         samples_per_program: int = 4) -> jax.Array:
+                         samples_per_program: int = 4,
+                         input_scales: Sequence[jax.Array] | None = None
+                         ) -> jax.Array:
     """xs: 4 NHWC branch tensors (B, h0/2^i, w0/2^i, Ci) -> (B, K, 2).
 
     Same math as ``fused_head_decode`` (eval-exact head + softmax soft-argmax)
     with the commuted-conv / separable-upsample formulation; reads the NHWC
     branch tensors directly (no channels-major pre-transpose).  Several
     samples per grid program amortise the per-program pipeline overhead.
+
+    ``input_scales``: per-branch symmetric int8 scales.  When given, ``xs``
+    must be int8 (B, h, w, Ci) tensors (``x_bf16 ~= sa_i * x_int8``); the
+    dequant folds into the per-branch kernel slices (the 1x1 head conv is
+    linear in its input), so the kernel just casts after the halved-size
+    loads — the head is input-read-bound (PERF.md).
     """
     b, h0, w0, _ = xs[0].shape
     k = params.w_final.shape[1]
     hw_shapes = tuple((x.shape[1], x.shape[2]) for x in xs)
     spp = samples_per_program if b % samples_per_program == 0 else 1
 
-    xs_flat = [x.astype(jnp.bfloat16).reshape(b, x.shape[1] * x.shape[2], x.shape[3])
-               for x in xs]
+    if input_scales is None:
+        xs_flat = [x.astype(jnp.bfloat16).reshape(
+            b, x.shape[1] * x.shape[2], x.shape[3]) for x in xs]
+    else:
+        assert all(x.dtype == jnp.int8 for x in xs), \
+            "input_scales given: xs must be int8"
+        xs_flat = [x.reshape(b, x.shape[1] * x.shape[2], x.shape[3])
+                   for x in xs]
     # per-branch slices of the folded head kernel (480_in -> 480_out)
-    w_head = params.w_head.astype(jnp.bfloat16)
+    w_head = params.w_head.astype(jnp.float32)
     offs = np.cumsum([0] + [x.shape[-1] for x in xs])
     w_slices = [w_head[offs[i]:offs[i + 1]] for i in range(4)]
+    if input_scales is not None:
+        w_slices = [w * jnp.asarray(sa, jnp.float32)
+                    for w, sa in zip(w_slices, input_scales)]
+    w_slices = [w.astype(jnp.bfloat16) for w in w_slices]
     # W-mix interpolation matrices (H-mix taps are baked in statically), bf16
     ups = [jnp.asarray(_align_corners_matrix(w, w0)).astype(jnp.bfloat16)
            for (h, w) in hw_shapes[1:]]

@@ -168,6 +168,14 @@ def test_quant_infer_layer1_chain_plumbing(activated):
     assert out.shape == (x.shape[0], cfg.MODEL.NUM_JOINTS, 2)
     assert np.isfinite(out).all()
 
+    # + int8 head inputs (HEAD_SCALES_KEY): same plumbing contract
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        HEAD_SCALES_KEY, prepare_head_input_scales)
+
+    qparams[HEAD_SCALES_KEY] = prepare_head_input_scales(amax)
+    out2 = np.asarray(fn(v, qparams, x))
+    assert out2.shape == out.shape and np.isfinite(out2).all()
+
 
 def test_quant_infer_mesh_sharded_serving(activated):
     """make_quant_infer(mesh=...) shards the serving batch over the mesh's

@@ -112,6 +112,33 @@ def test_fused_head_decode_parity(rng):
     np.testing.assert_allclose(got, want, atol=0.05)  # bf16 head matmuls
 
 
+def test_fused_head_decode_v2_int8_inputs(rng):
+    """int8-input head (input_scales) == the bf16 head fed the dequantized
+    tensors, up to bf16 rounding of where the scale multiplies (weights vs
+    activations — the fold is exact linear algebra)."""
+    from hrnet_hand_pose_estimation_tpu.ops.pallas.fused_head_decode import (
+        HeadParams,
+        fused_head_decode_v2,
+    )
+
+    xs_i8 = [jnp.asarray(rng.integers(0, 128, size=(4, s, s, c)), jnp.int8)
+             for s, c in [(16, 8), (8, 16), (4, 32), (2, 64)]]
+    scales = tuple(jnp.float32(v) for v in (0.011, 0.023, 0.017, 0.029))
+    xs_bf = [(x.astype(jnp.float32) * sa).astype(jnp.bfloat16)
+             for x, sa in zip(xs_i8, scales)]
+    params = HeadParams(
+        w_head=jnp.asarray(rng.normal(size=(120, 120)).astype(np.float32)) * 0.1,
+        b_head=jnp.asarray(rng.normal(size=(120,)).astype(np.float32)) * 0.1,
+        w_final=jnp.asarray(rng.normal(size=(120, 21)).astype(np.float32)) * 0.1,
+        b_final=jnp.asarray(rng.normal(size=(21,)).astype(np.float32)) * 0.1,
+        temp=jnp.asarray(1.3))
+    want = np.asarray(fused_head_decode_v2(xs_bf, params, interpret=True))
+    got = np.asarray(fused_head_decode_v2(xs_i8, params, interpret=True,
+                                          input_scales=scales))
+    assert got.shape == want.shape == (4, 21, 2)
+    np.testing.assert_allclose(got, want, atol=0.1)
+
+
 def test_fast_infer_path_parity(tiny_cfg, monkeypatch, rng):
     """End-to-end fast path (fused head decode) vs standard model coords."""
     from hrnet_hand_pose_estimation_tpu.core.fast_infer import make_fast_infer

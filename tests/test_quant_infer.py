@@ -243,19 +243,23 @@ def test_int8_trunk_decode_gate_trained(tiny_cfg):
         prepare_layer1_int8)
 
     # the shipped serving config: branch scope + int8 Pallas layer1 chain
-    # + W8A8 stem2 (bench.py BENCH defaults)
+    # + W8A8 stem2 + int8 head inputs (bench.py BENCH defaults)
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        HEAD_SCALES_KEY, prepare_head_input_scales)
+
     qparams_chain = dict(prepare_quant_params(cfg, trained, amax,
                                               stem2=True))
     qparams_chain[LAYER1_CHAIN_KEY] = prepare_layer1_int8(trained, amax)[0]
+    qparams_chain[HEAD_SCALES_KEY] = prepare_head_input_scales(amax)
     for x in (x_train, x_held):
         ref = np.asarray(ref_fn(trained, {}, x))
         got = np.asarray(q_fn(trained, qparams, x))
         shift = np.abs(got - ref).max()
         assert shift < 0.1, f"int8 decode shift {shift:.4f} px >= 0.1 px"
-        # int8 Pallas layer1 chain + stem2 path: same gate
+        # int8 Pallas layer1 chain + stem2 + int8-head path: same gate
         got_chain = np.asarray(q_fn(trained, qparams_chain, x))
         shift = np.abs(got_chain - ref).max()
         assert shift < 0.1, (
-            f"int8 chain+stem2 decode shift {shift:.4f} px >= 0.1 px")
+            f"int8 chain+stem2+head decode shift {shift:.4f} px >= 0.1 px")
     # trained-regime sanity: decode varies across samples (non-degenerate)
     assert np.asarray(ref_fn(trained, {}, x_train)).std(axis=0).max() > 0.5
