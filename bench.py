@@ -105,27 +105,14 @@ def main() -> None:
         # production serving path: int8 W8A8 trunk (see module docstring);
         # calibration + weight quant are offline setup, outside the timing
         from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
-            calibrate, make_quant_infer, prepare_quant_params)
+            calibrate, make_quant_infer, prepare_serving_qparams)
 
         amax = calibrate(cfg, variables, [bufs[0][:16]])
-        qparams = dict(prepare_quant_params(
+        qparams = prepare_serving_qparams(
             cfg, variables, amax,
-            stem2=os.environ.get("BENCH_STEM2", "0") != "0"))
-        if os.environ.get("BENCH_L1CHAIN", "1") != "0":
-            # layer1 as ONE W8A8 VMEM-resident Pallas chain (int8 MXU rate
-            # on top of the fused-chain HBM cut; same accuracy gate)
-            from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
-                LAYER1_CHAIN_KEY)
-            from hrnet_hand_pose_estimation_tpu.ops.pallas.int8_chain import (
-                prepare_layer1_int8)
-
-            qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
-        if os.environ.get("BENCH_INT8HEAD", "0") != "0":
-            # int8 stage outputs into the head (halved head input reads)
-            from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
-                HEAD_SCALES_KEY, prepare_head_input_scales)
-
-            qparams[HEAD_SCALES_KEY] = prepare_head_input_scales(amax)
+            stem2=os.environ.get("BENCH_STEM2", "0") != "0",
+            layer1_chain=os.environ.get("BENCH_L1CHAIN", "1") != "0",
+            int8_head=os.environ.get("BENCH_INT8HEAD", "0") != "0")
         if os.environ.get("BENCH_UINT8", "0") != "0":
             # serving-realistic raw-uint8 input, normalized on device (4x
             # less input traffic than pre-normalized f32)
@@ -136,8 +123,8 @@ def main() -> None:
                 cfg, input_norm=(IMAGENET_MEAN, IMAGENET_STD))
             mean = np.asarray(IMAGENET_MEAN, np.float32)
             std = np.asarray(IMAGENET_STD, np.float32)
-            bufs = jnp.asarray(np.clip(
-                (np.asarray(bufs) * std + mean) * 255.0, 0, 255
+            bufs = jnp.asarray(np.clip(np.round(
+                (np.asarray(bufs) * std + mean) * 255.0), 0, 255
             ).astype(np.uint8))
         else:
             qfn = make_quant_infer(cfg)

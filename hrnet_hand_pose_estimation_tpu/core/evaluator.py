@@ -32,6 +32,15 @@ class Evaluator2D:
         forward — the deployment-accuracy check for the quantized model.
         Calibration uses the first eval batch (serving contract:
         calibration data ~ serving data)."""
+        if serving not in ("std", "int8"):
+            raise ValueError(f"unknown serving mode: {serving!r}")
+        if serving == "int8" and not cfg.MODEL.HEATMAP_SOFTMAX:
+            # the int8 serving path decodes via the fused softmax
+            # soft-argmax head; on a non-softmax config its metrics would
+            # measure the decode swap, not quantization
+            raise ValueError(
+                "serving='int8' requires a softmax-decode config "
+                "(MODEL.HEATMAP_SOFTMAX: true)")
         self.cfg = cfg
         self.model = model
         self.variables = variables
@@ -65,17 +74,13 @@ class Evaluator2D:
 
     def _build_serving(self, calib_images) -> None:
         """Calibrate + build the int8 serving forward on first use."""
-        from ..ops.pallas.int8_chain import prepare_layer1_int8
-        from .quant_infer import (LAYER1_CHAIN_KEY, calibrate,
-                                  make_quant_infer, prepare_quant_params)
+        from .quant_infer import (calibrate, make_quant_infer,
+                                  prepare_serving_qparams)
 
         on_cpu = jax.devices()[0].platform == "cpu"
-        amax = calibrate(self.cfg, self.variables, [np.asarray(calib_images)],
-                         pallas=not on_cpu)
-        qparams = dict(prepare_quant_params(self.cfg, self.variables, amax,
-                                            stem2=True))
-        qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(self.variables, amax)[0]
-        self._qparams = qparams
+        amax = calibrate(self.cfg, self.variables, [np.asarray(calib_images)])
+        self._qparams = prepare_serving_qparams(self.cfg, self.variables,
+                                                amax)
         self._qfn = make_quant_infer(self.cfg, interpret=on_cpu,
                                      pallas_layer1=not on_cpu,
                                      mesh=self.mesh)

@@ -338,12 +338,14 @@ def apply_trunk(cfg, variables, x, mode: str = "f32",
     return xs, walk.amax
 
 
-def calibrate(cfg, variables, batches: Sequence[jax.Array],
-              pallas: bool = True) -> Dict[str, float]:
+def calibrate(cfg, variables, batches: Sequence[jax.Array]
+              ) -> Dict[str, float]:
     """Per-site input-activation maxima over calibration batches.
 
     ``batches``: normalized image arrays (B, H, W, 3).  Returns
-    {site: amax} for every conv input in stages 2-4 (host floats).
+    {site: amax} for every conv input in stages 2-4, stem2, and the four
+    head inputs (host floats).  Runs the folded XLA walk — site
+    activations match the Pallas serving paths within bf16 noise.
     """
     @jax.jit
     def one_batch(variables, images):
@@ -376,6 +378,24 @@ def calibrate(cfg, variables, batches: Sequence[jax.Array],
     return amax
 
 
+def quantize_weight(kernel) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-output-channel int8 weights; returns (kq, wscale).
+    THE quantization scheme — the Pallas chains (ops/pallas/int8_chain.py)
+    import it so the '<0.1 px, same scheme' contract cannot drift."""
+    kernel = np.asarray(kernel, np.float32)
+    wmax = np.abs(kernel).reshape(-1, kernel.shape[-1]).max(axis=0)
+    wscale = np.maximum(wmax, 1e-12) / 127.0
+    kq = np.clip(np.round(kernel / wscale), -127, 127).astype(np.int8)
+    return kq, wscale
+
+
+def site_scale(amax: Dict[str, float], site: str) -> float:
+    """Symmetric per-tensor activation scale from a calibration record."""
+    if site not in amax:
+        raise KeyError(f"no calibration record for {site}")
+    return max(float(amax[site]), 1e-12) / 127.0
+
+
 def prepare_quant_params(cfg, variables, amax: Dict[str, float],
                          scope: str = "branch",
                          stem2: bool = False) -> Params:
@@ -389,24 +409,46 @@ def prepare_quant_params(cfg, variables, amax: Dict[str, float],
     s = variables["batch_stats"]["backbone"]
     out: Params = {}
     for site in quant_sites(cfg, scope, stem2=stem2):
-        if site not in amax:
-            raise KeyError(f"no calibration record for {site}")
         node_p, node_s = p, s
         for k in site.split("/"):
             node_p, node_s = node_p[k], node_s[k]
         kernel, bias = _fold(node_p, node_s)
-        kernel = np.asarray(kernel, np.float32)
-        wmax = np.abs(kernel).reshape(-1, kernel.shape[-1]).max(axis=0)
-        wscale = np.maximum(wmax, 1e-12) / 127.0
-        kq = np.clip(np.round(kernel / wscale), -127, 127).astype(np.int8)
-        sa = max(float(amax[site]), 1e-12) / 127.0
+        kq, wscale = quantize_weight(kernel)
         out[site] = {
             "kq": jnp.asarray(kq),
             "wscale": jnp.asarray(wscale, jnp.float32),
-            "sa": jnp.float32(sa),
+            "sa": jnp.float32(site_scale(amax, site)),
             "bias": jnp.asarray(np.asarray(bias, np.float32)),
         }
     return out
+
+
+def prepare_serving_qparams(cfg, variables, amax: Dict[str, float],
+                            scope: str = "branch", stem2: bool = True,
+                            layer1_chain: bool = True,
+                            int8_head: bool = False) -> Params:
+    """THE shipped serving configuration, in one place: branch-scope int8
+    trunk + W8A8 stem2 + the W8A8 Pallas layer1 chain (+ optionally int8
+    head inputs).  bench.py, Evaluator2D(serving='int8') and
+    tools/inference.py --serving int8 all build their qparams here."""
+    qparams = dict(prepare_quant_params(cfg, variables, amax, scope=scope,
+                                        stem2=stem2))
+    if layer1_chain:
+        from ..ops.pallas.int8_chain import prepare_layer1_int8
+
+        # flat params only: the block topology (shortcut flags, widths) is
+        # re-derived from the variables STRUCTURE at trace time, which is
+        # static under jit — flags stored as pytree leaves would trace
+        qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
+    if int8_head:
+        qparams[HEAD_SCALES_KEY] = prepare_head_input_scales(amax)
+    return qparams
+
+
+def layer1_topology(variables) -> Tuple[bool, ...]:
+    """Per-block projection-shortcut flags from the params structure."""
+    l1 = variables["params"]["backbone"]["layer1"]
+    return tuple("downsample" in l1[f"block{b}"] for b in range(len(l1)))
 
 
 LAYER1_CHAIN_KEY = "_layer1_chain"
@@ -474,10 +516,12 @@ def make_quant_infer(cfg, interpret: bool = False, pallas_layer1: bool = True,
             rest = {k: v for k, v in qparams.items()
                     if k != LAYER1_CHAIN_KEY}
             x = _stem(variables, images, qparams=rest)
+            # topology from the params STRUCTURE (static under jit); the
+            # chain's output width is the trailing bias vector's length
             x = fused_bottleneck_chain_int8(
                 x, tuple(chain_flat),
-                shortcut_flags=(True, False, False, False),
-                out_channels=x.shape[-1] * 4, interpret=interpret)
+                shortcut_flags=layer1_topology(variables),
+                out_channels=chain_flat[-1].shape[0], interpret=interpret)
             xs, _ = apply_stages(cfg, variables, x, mode=trunk,
                                  qparams=rest)
         elif any(s.startswith("layer1/") for s in qparams):

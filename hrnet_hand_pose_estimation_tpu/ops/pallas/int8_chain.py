@@ -218,23 +218,9 @@ def fused_basic_chain_int8(x: jax.Array,
 
 
 # --------------------------------------------------------------------------
-# offline parameter preparation (shares core/quant_infer's scheme)
+# offline parameter preparation (imports core/quant_infer's scheme — ONE
+# quantization definition, so the '<0.1 px, same scheme' contract holds)
 # --------------------------------------------------------------------------
-
-def _quantize_weight(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Symmetric per-output-channel int8; returns (kq, wscale)."""
-    kernel = np.asarray(kernel, np.float32)
-    wmax = np.abs(kernel).reshape(-1, kernel.shape[-1]).max(axis=0)
-    wscale = np.maximum(wmax, 1e-12) / 127.0
-    kq = np.clip(np.round(kernel / wscale), -127, 127).astype(np.int8)
-    return kq, wscale
-
-
-def _site_scale(amax: Dict[str, float], site: str) -> float:
-    if site not in amax:
-        raise KeyError(f"no calibration record for {site}")
-    return max(float(amax[site]), 1e-12) / 127.0
-
 
 def prepare_layer1_int8(variables, amax: Dict[str, float]
                         ) -> Tuple[Tuple[jax.Array, ...], Tuple[bool, ...]]:
@@ -243,7 +229,9 @@ def prepare_layer1_int8(variables, amax: Dict[str, float]
     ``amax``: calibration records from ``core.quant_infer.calibrate`` (the
     layer1/* sites; recorded by the folded-walk calibration pass).
     """
-    from ...core.quant_infer import _fold
+    from ...core.quant_infer import (_fold, quantize_weight as
+                                     _quantize_weight, site_scale as
+                                     _site_scale)
 
     p = variables["params"]["backbone"]["layer1"]
     s = variables["batch_stats"]["backbone"]["layer1"]
@@ -294,7 +282,9 @@ def prepare_branch_int8(variables, amax: Dict[str, float], mod: str,
     """Fold + quantize one stage branch chain into
     ``fused_basic_chain_int8`` layout.  Sites: {mod}/branch{i}/block{b}/cb*.
     """
-    from ...core.quant_infer import _fold
+    from ...core.quant_infer import (_fold, quantize_weight as
+                                     _quantize_weight, site_scale as
+                                     _site_scale)
 
     p = variables["params"]["backbone"][mod][f"branch{branch}"]
     s = variables["batch_stats"]["backbone"][mod][f"branch{branch}"]

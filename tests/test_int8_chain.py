@@ -117,10 +117,10 @@ def test_prepare_layer1_int8_matches_quant_walk(activated):
     is a tight relative tolerance, not bit equality (wrong scale folding
     would show O(1) relative errors)."""
     from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
-        _stem, apply_trunk, calibrate, prepare_quant_params)
+        _stem, calibrate, prepare_quant_params)
 
     cfg, v, x = activated
-    amax = calibrate(cfg, v, [np.asarray(x)], pallas=False)
+    amax = calibrate(cfg, v, [np.asarray(x)])
     flat, flags = prepare_layer1_int8(v, amax)
     assert flags == (True, False, False, False)
 
@@ -129,17 +129,10 @@ def test_prepare_layer1_int8_matches_quant_walk(activated):
         bottleneck_chain_int8_reference(stem.astype(jnp.bfloat16), flat,
                                         flags), np.float32)
 
-    qparams = prepare_quant_params(cfg, v, amax, scope="wide")
-    qp_l1 = {k: q for k, q in qparams.items() if k.startswith("layer1/")}
-    walk_out, _ = apply_trunk(cfg, v, stem.astype(jnp.bfloat16),
-                              mode="quant", qparams=qp_l1,
-                              include_layer1=True)
-    # compare at the layer1 output: run stages in f32 on both? cheaper —
-    # apply_trunk returned stage outputs; instead recompute layer1 only via
-    # the walk by quantizing layer1 sites and reading the first transition
-    # input is awkward, so walk layer1 directly:
     from hrnet_hand_pose_estimation_tpu.core.quant_infer import _Walk
 
+    qparams = prepare_quant_params(cfg, v, amax, scope="wide")
+    qp_l1 = {k: q for k, q in qparams.items() if k.startswith("layer1/")}
     walk = _Walk(v["params"]["backbone"], v["batch_stats"]["backbone"],
                  "quant", qp_l1, dtype=jnp.bfloat16)
     got = np.asarray(walk.layer1(stem.astype(jnp.bfloat16)), np.float32)
@@ -160,7 +153,7 @@ def test_quant_infer_layer1_chain_plumbing(activated):
         LAYER1_CHAIN_KEY, calibrate, make_quant_infer, prepare_quant_params)
 
     cfg, v, x = activated
-    amax = calibrate(cfg, v, [np.asarray(x)], pallas=False)
+    amax = calibrate(cfg, v, [np.asarray(x)])
     qparams = dict(prepare_quant_params(cfg, v, amax, scope="branch"))
     qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(v, amax)[0]
     fn = make_quant_infer(cfg, interpret=True, pallas_layer1=False)
@@ -188,7 +181,7 @@ def test_quant_infer_mesh_sharded_serving(activated):
 
     cfg, v, x = activated
     x8 = jnp.concatenate([x] * 4)            # batch 8 = one per device
-    amax = calibrate(cfg, v, [np.asarray(x)], pallas=False)
+    amax = calibrate(cfg, v, [np.asarray(x)])
     qparams = dict(prepare_quant_params(cfg, v, amax, stem2=True))
     qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(v, amax)[0]
 
@@ -209,7 +202,7 @@ def test_prepare_branch_int8_matches_quant_walk(activated):
         _Walk, _stem_layer1, calibrate, prepare_quant_params, stage_cfgs)
 
     cfg, v, x = activated
-    amax = calibrate(cfg, v, [np.asarray(x)], pallas=False)
+    amax = calibrate(cfg, v, [np.asarray(x)])
     qparams = prepare_quant_params(cfg, v, amax, scope="branch")
 
     s2 = stage_cfgs(cfg)[0]

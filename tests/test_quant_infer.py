@@ -87,8 +87,7 @@ def test_quant_walk_f32_matches_flax_backbone(activated):
 
 def test_calibrate_covers_all_quant_sites(activated):
     cfg, model, v, x = activated
-    amax = calibrate(cfg, v, [np.asarray(x[:2]), np.asarray(x[2:])],
-                     pallas=False)
+    amax = calibrate(cfg, v, [np.asarray(x[:2]), np.asarray(x[2:])])
     for scope in ("branch", "wide"):
         sites = quant_sites(cfg, scope)
         missing = [s for s in sites if s not in amax]
@@ -125,7 +124,7 @@ def test_stem2_int8_activation_parity(activated):
     from hrnet_hand_pose_estimation_tpu.core.quant_infer import _stem
 
     cfg, model, v, x = activated
-    amax = calibrate(cfg, v, [np.asarray(x)], pallas=False)
+    amax = calibrate(cfg, v, [np.asarray(x)])
     assert "stem2" in amax
     qparams = prepare_quant_params(cfg, v, amax, stem2=True)
     assert "stem2" in qparams and qparams["stem2"]["kq"].shape[0] == 3
@@ -158,7 +157,7 @@ def test_uint8_input_norm_matches_prenormalized(activated):
     std = np.asarray(IMAGENET_STD, np.float32)
     xf = (u8.astype(np.float32) / 255.0 - mean) / std
 
-    amax = calibrate(cfg, v, [xf], pallas=False)
+    amax = calibrate(cfg, v, [xf])
     qparams = prepare_quant_params(cfg, v, amax)
     base = make_quant_infer(cfg, interpret=True, pallas_layer1=False)
     u8fn = make_quant_infer(cfg, interpret=True, pallas_layer1=False,
@@ -232,7 +231,7 @@ def test_int8_trunk_decode_gate_trained(tiny_cfg):
     x_held = jnp.asarray(
         default_collate([ds_held[i] for i in range(8)])["imgs"])
 
-    amax = calibrate(cfg, trained, [np.asarray(x_train)], pallas=False)
+    amax = calibrate(cfg, trained, [np.asarray(x_train)])
     qparams = prepare_quant_params(cfg, trained, amax)
     ref_fn = ref_fn0
     q_fn = make_quant_infer(cfg, interpret=True, pallas_layer1=False,

@@ -19,7 +19,11 @@ REF_EVAL = "/root/reference/tools"
 
 def _run(cmd, **kw):
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # these are CPU smokes: force the CPU backend and skip the TPU-tunnel
+    # registration the image's sitecustomize performs at interpreter start
+    # (it can block for many minutes when the tunnel is down)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run([sys.executable] + cmd, capture_output=True,
                           text=True, env=env, timeout=500, **kw)
 

@@ -57,6 +57,11 @@ def make_serving_fn(cfg, variables, mode: str, calib_images, interpret: bool):
     import jax.numpy as jnp
     import numpy as np
 
+    if not cfg.MODEL.HEATMAP_SOFTMAX:
+        raise SystemExit(
+            "--serving fast/int8 decode via the fused softmax soft-argmax "
+            "head; this config has MODEL.HEATMAP_SOFTMAX: false — use "
+            "--serving std")
     if mode == "fast":
         from hrnet_hand_pose_estimation_tpu.core.fast_infer import (
             make_fast_infer)
@@ -66,16 +71,10 @@ def make_serving_fn(cfg, variables, mode: str, calib_images, interpret: bool):
         return lambda v, x: (None, fast(v, x))
     if mode == "int8":
         from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
-            LAYER1_CHAIN_KEY, calibrate, make_quant_infer,
-            prepare_quant_params)
-        from hrnet_hand_pose_estimation_tpu.ops.pallas.int8_chain import (
-            prepare_layer1_int8)
+            calibrate, make_quant_infer, prepare_serving_qparams)
 
-        amax = calibrate(cfg, variables, [np.stack(calib_images)],
-                         pallas=not interpret)
-        qparams = dict(prepare_quant_params(cfg, variables, amax,
-                                            stem2=True))
-        qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
+        amax = calibrate(cfg, variables, [np.stack(calib_images)])
+        qparams = prepare_serving_qparams(cfg, variables, amax)
         qfn = make_quant_infer(cfg, interpret=interpret,
                                pallas_layer1=not interpret)
         return lambda v, x: (None, qfn(v, qparams, x))
@@ -119,8 +118,9 @@ def main() -> None:
             normalize_image)
 
         # calibration frames for int8 = the first few serving inputs
+        # ('fast' needs none — skip the extra decode pass)
         calib = []
-        if args.video_path:
+        if args.serving == "int8" and args.video_path:
             cap = cv2.VideoCapture(args.video_path)
             while len(calib) < 8:
                 ok, frame = cap.read()
@@ -130,7 +130,7 @@ def main() -> None:
                                    cv2.COLOR_BGR2RGB)
                 calib.append(normalize_image(rgb))
             cap.release()
-        elif args.image_path:
+        elif args.serving == "int8" and args.image_path:
             cand = ([os.path.join(args.image_path, f)
                      for f in sorted(os.listdir(args.image_path))]
                     if os.path.isdir(args.image_path) else [args.image_path])
@@ -141,8 +141,9 @@ def main() -> None:
                 rgb = cv2.cvtColor(cv2.resize(img, (size, size)),
                                    cv2.COLOR_BGR2RGB)
                 calib.append(normalize_image(rgb))
-        if not calib:
-            raise SystemExit("--serving int8/fast needs at least one input")
+        if args.serving == "int8" and not calib:
+            raise SystemExit("--serving int8 needs at least one input to "
+                             "calibrate on")
         interpret = jax.devices()[0].platform == "cpu"
         fwd = make_serving_fn(cfg, variables, args.serving, calib, interpret)
 

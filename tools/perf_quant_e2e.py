@@ -99,16 +99,14 @@ def main():
               f"{time.time()-t0:.0f}s", flush=True)
         report(scope, qparams)
 
-    # the shipped serving config: branch scope + int8 Pallas layer1 chain
-    # + W8A8 stem2 (bench.py defaults)
+    # the shipped serving config (one definition: prepare_serving_qparams)
     from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
-        LAYER1_CHAIN_KEY)
-    from hrnet_hand_pose_estimation_tpu.ops.pallas.int8_chain import (
-        prepare_layer1_int8)
+        prepare_serving_qparams)
 
-    qparams = dict(prepare_quant_params(cfg, variables, amax, stem2=True))
-    qparams[LAYER1_CHAIN_KEY] = prepare_layer1_int8(variables, amax)[0]
-    report("branch+l1chain+stem2", qparams)
+    report("branch+l1chain+stem2",
+           prepare_serving_qparams(cfg, variables, amax))
+    report("branch+l1chain+stem2+int8head",
+           prepare_serving_qparams(cfg, variables, amax, int8_head=True))
 
 
 if __name__ == "__main__":
