@@ -70,10 +70,23 @@ def param_shardings(mesh: Mesh, params, min_shard_dim: int = 256):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with batch-axis sharding."""
-    sh = batch_sharding(mesh)
+    """Place a host batch with batch-axis sharding over the mesh.
+
+    Single-process: a plain device_put of the global batch.  Multi-host
+    (``jax.process_count() > 1``): ``batch`` is this host's LOCAL slice
+    (what ``data.pipeline.DataLoader`` yields under ``host_local_slice``)
+    and the global array is assembled from the per-process shards —
+    host_local_slice's contiguous per-process chunks line up with the
+    mesh's process-major device order.
+    """
+    multi = jax.process_count() > 1
 
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P(*(["data"] + [None] * (x.ndim - 1)))))
+        sh = NamedSharding(mesh, P(*(["data"] + [None] * (x.ndim - 1))))
+        if multi:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)
