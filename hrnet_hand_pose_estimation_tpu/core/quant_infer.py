@@ -21,9 +21,16 @@ parameter-key; ``test_quant_infer.py`` pins parity between this walk in
 f32 mode and the Flax module, and gates the int8 path at < 0.1 px decoded
 drift.
 
+On top of the quantized walk, the shipped serving configuration
+(``prepare_serving_qparams``) adds: the W8A8 Pallas layer1 chain
+(``ops/pallas/int8_chain.py``, LAYER1_CHAIN_KEY), W8A8 stem2, optional
+int8 head inputs (HEAD_SCALES_KEY), raw-uint8 device-side normalization
+(``input_norm=``) and data-parallel scale-out over a mesh (``mesh=``,
+shard_map).
+
 Usage:
     amax = calibrate(cfg, variables, [batch1, batch2, ...])
-    qparams = prepare_quant_params(cfg, variables, amax)
+    qparams = prepare_serving_qparams(cfg, variables, amax)
     fn = make_quant_infer(cfg)                 # jitted
     coords = fn(variables, qparams, images)
 """
