@@ -46,8 +46,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: tunnel compiles cost minutes; cache across runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# persistent compilation cache: tunnel compiles cost minutes; cache across
+# runs.  Repo-local so it survives the /tmp wipes between builder sessions.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".cache", "jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from hrnet_hand_pose_estimation_tpu.config import load_config

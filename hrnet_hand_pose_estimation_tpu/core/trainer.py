@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.pipeline import device_prefetch
-from ..parallel.checkpoint import CheckpointManager, load_pretrained
+from ..parallel.checkpoint import (CheckpointManager, load_pretrained,
+                                    merge_pretrained)
 from ..parallel.mesh import make_mesh
 from ..parallel.train_step import (
     TrainState, create_train_state, make_eval_step, make_train_step,
@@ -74,6 +75,33 @@ class Trainer:
         self.state, self.tx = create_train_state(
             cfg, model, jax.random.key(int(cfg.TPU.SEED)), sample, self.mesh,
             steps_per_epoch=steps_per_epoch)
+
+        if cfg.MODEL.PRETRAINED and "hrnet" in str(cfg.MODEL.NAME).lower():
+            # ImageNet(-style) trunk warm-start: partial, layer-filtered,
+            # shape-checked (reference init_weights via MODEL.PRETRAINED,
+            # pose_hrnet.py:560-585; layer filter MODEL.EXTRA.PRETRAINED_LAYERS)
+            from ..utils.torch_convert import (
+                convert_pretrained_trunk, load_torch_checkpoint)
+
+            layers = tuple(cfg.MODEL.EXTRA.get("PRETRAINED_LAYERS", ["*"]))
+            if cfg.MODEL.PRETRAINED.endswith((".pth", ".tar", ".pt")):
+                pre = convert_pretrained_trunk(
+                    load_torch_checkpoint(cfg.MODEL.PRETRAINED), layers)
+                if pre.get("unmatched"):
+                    self.logger.info(
+                        "pretrained trunk: %d torch entries not in the pose "
+                        "trunk (expected for classification checkpoints)",
+                        len(pre["unmatched"]))
+            else:
+                pre = load_pretrained(cfg.MODEL.PRETRAINED)
+            params, copied, _ = merge_pretrained(self.state.params,
+                                                 pre.get("params", {}))
+            stats, copied_s, _ = merge_pretrained(self.state.batch_stats,
+                                                  pre.get("batch_stats", {}))
+            self.state = self.state.replace(params=params, batch_stats=stats)
+            self.logger.info(
+                "warm-started %d param + %d stat leaves from %s",
+                len(copied), len(copied_s), cfg.MODEL.PRETRAINED)
 
         if cfg.MODEL.HRNET_PRETRAINED:
             pre = load_pretrained(cfg.MODEL.HRNET_PRETRAINED)

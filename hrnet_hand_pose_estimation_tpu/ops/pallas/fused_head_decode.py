@@ -256,7 +256,10 @@ def fused_head_decode_v2(xs: Sequence[jax.Array], params: HeadParams,
     # W-mix interpolation matrices (H-mix taps are baked in statically), bf16
     ups = [jnp.asarray(_align_corners_matrix(w, w0)).astype(jnp.bfloat16)
            for (h, w) in hw_shapes[1:]]
-    # final conv padded to 128 lanes; pad columns get bias -inf so exp()=0
+    # final conv padded to 128 lanes; pad columns hold a constant huge-negative
+    # bias, so after the per-column max subtraction they produce garbage
+    # (exp(0)=1), NOT zeros — correctness relies on the caller slicing the pad
+    # columns off, never on their values
     pad = 128 - k
     w_final = jnp.pad(params.w_final.astype(jnp.bfloat16), ((0, 0), (0, pad)))
     b_final = jnp.pad(params.b_final.astype(jnp.float32), (0, pad),

@@ -69,6 +69,43 @@ class CheckpointManager:
         ckptr.wait_until_finished()
 
 
+def merge_pretrained(dst: dict, src: dict):
+    """Copy every ``src`` leaf whose path exists in ``dst`` with a matching
+    shape; leave everything else at its fresh initialisation.
+
+    This is the reference's partial warm-start contract
+    (pose_hrnet.py init_weights: filtered state_dict + ``strict=False``
+    load): pretrained trunks never cover task heads, and shape-divergent
+    leaves (e.g. a different NUM_JOINTS final layer) must not clobber init.
+    Returns ``(merged, copied_paths, skipped_paths)``.
+    """
+    from collections.abc import Mapping
+
+    copied, skipped = [], []
+
+    def walk(d, s, path):
+        out = dict(d)
+        for key, sval in s.items():
+            if key not in d:
+                skipped.append("/".join(path + (key,)))
+                continue
+            dval = d[key]
+            if isinstance(sval, Mapping) and isinstance(dval, Mapping):
+                out[key] = walk(dval, sval, path + (key,))
+            elif not isinstance(sval, Mapping) and not isinstance(dval, Mapping):
+                if np.shape(sval) == np.shape(dval):
+                    out[key] = jax.numpy.asarray(
+                        np.asarray(sval), dtype=jax.numpy.asarray(dval).dtype)
+                    copied.append("/".join(path + (key,)))
+                else:
+                    skipped.append("/".join(path + (key,)))
+            else:
+                skipped.append("/".join(path + (key,)))
+        return out
+
+    return walk(dst, src, ()), copied, skipped
+
+
 def load_pretrained(path: str):
     """Load warm-start weights: an Orbax dir or a torch .pth(.tar) via the
     converter (reference MODEL.HRNET_PRETRAINED, tools/train.py:173-182)."""

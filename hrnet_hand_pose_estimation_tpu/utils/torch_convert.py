@@ -228,7 +228,8 @@ _RESOLVERS = {
 }
 
 
-def _convert(state: Mapping[str, np.ndarray], resolver) -> Dict[str, dict]:
+def _convert(state: Mapping[str, np.ndarray], resolver,
+             strict: bool = True) -> Dict[str, dict]:
     params: dict = {}
     stats: dict = {}
     unmatched = []
@@ -256,10 +257,13 @@ def _convert(state: Mapping[str, np.ndarray], resolver) -> Dict[str, dict]:
             _set(params, flax_path, np.ascontiguousarray(arr).astype(np.float32))
         else:
             _set(stats, flax_path, arr.astype(np.float32))
-    if unmatched:
+    if unmatched and strict:
         raise KeyError(f"Unmatched torch parameters: {unmatched[:10]}"
                        f" (+{max(0, len(unmatched)-10)} more)")
-    return {"params": params, "batch_stats": stats}
+    out = {"params": params, "batch_stats": stats}
+    if not strict:
+        out["unmatched"] = unmatched
+    return out
 
 
 def convert_hrnet_state_dict(state: Mapping[str, np.ndarray]) -> Dict[str, dict]:
@@ -307,6 +311,27 @@ def convert_state_dict(state: Mapping[str, np.ndarray],
     if "v2v" in name:
         return convert_v2v_state_dict(state)
     raise KeyError(f"No converter for model family {model_name!r}")
+
+
+def convert_pretrained_trunk(state: Mapping[str, np.ndarray],
+                             layers=("*",)) -> Dict[str, dict]:
+    """Tolerant trunk conversion for warm-starts (reference ``init_weights``,
+    pose_hrnet.py:560-585 + MODEL.PRETRAINED via get_pose_net).
+
+    Mirrors the reference semantics exactly: keep only torch entries whose
+    first module-path component is listed in ``layers`` (or ``'*'`` passes
+    everything), then convert what the HRNet resolver recognises and report
+    the rest under ``"unmatched"`` instead of raising — an ImageNet
+    classification HRNet checkpoint carries classifier/incre heads the pose
+    trunk never had (the reference's ``strict=False`` load tolerance).
+    """
+    layers = tuple(layers)
+    keep = {}
+    for name, tensor in state.items():
+        base = name[len("module."):] if name.startswith("module.") else name
+        if "*" in layers or base.split(".")[0] in layers:
+            keep[name] = tensor
+    return _convert(keep, _resolve_hrnet, strict=False)
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -24,9 +24,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent compilation cache: the suite is compile-bound (tiny-HRNet and
 # triangulation graphs take 10-170s to build); repeat runs hit the cache and
-# the fast subset drops to minutes.
+# the fast subset drops to minutes.  Repo-local by default so it survives
+# the /tmp wipes between builder sessions.
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_cache"))
+                  os.environ.get("JAX_TEST_CACHE", os.path.join(
+                      os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".cache", "jax_test_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

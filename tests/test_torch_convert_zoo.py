@@ -250,3 +250,74 @@ def test_gap_confidence_head_torch_parity():
          "batch_stats": variables["batch_stats"]["confidence_head"]},
         jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), False)
     np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-4)
+
+
+def test_pretrained_trunk_partial_warm_start(tiny_cfg):
+    """MODEL.PRETRAINED semantics (reference pose_hrnet.py init_weights via
+    get_pose_net): layer-filtered, classifier-tolerant, shape-checked partial
+    warm-start into a fresh init."""
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+    from hrnet_hand_pose_estimation_tpu.parallel.checkpoint import merge_pretrained
+    from hrnet_hand_pose_estimation_tpu.utils.torch_convert import (
+        convert_pretrained_trunk)
+
+    rng = np.random.default_rng(3)
+    # ImageNet-classification-style checkpoint: pose trunk entries plus heads
+    # the pose net never had (classifier / incre_modules)
+    state = {
+        "conv1.weight": rng.normal(size=(64, 3, 3, 3)).astype(np.float32),
+        "bn1.weight": rng.normal(size=(64,)).astype(np.float32),
+        "bn1.bias": rng.normal(size=(64,)).astype(np.float32),
+        "bn1.running_mean": rng.normal(size=(64,)).astype(np.float32),
+        "bn1.running_var": np.abs(rng.normal(size=(64,))).astype(np.float32),
+        "bn1.num_batches_tracked": np.asarray(7),
+        "conv2.weight": rng.normal(size=(64, 64, 3, 3)).astype(np.float32),
+        # shape-divergent head (different joint count): must NOT clobber init
+        "last_layer.3.weight": rng.normal(size=(17, 64, 1, 1)).astype(np.float32),
+        "last_layer.3.bias": rng.normal(size=(17,)).astype(np.float32),
+        "classifier.weight": rng.normal(size=(1000, 2048)).astype(np.float32),
+        "incre_modules.0.0.conv1.weight": rng.normal(size=(32, 32, 1, 1)).astype(np.float32),
+    }
+
+    # layer filter: drop conv2 like PRETRAINED_LAYERS would
+    pre = convert_pretrained_trunk(state, layers=("conv1", "bn1", "last_layer"))
+    assert "classifier.weight" not in pre["unmatched"]  # filtered before resolve
+    assert all(u.startswith("last_layer") is False for u in pre["unmatched"])
+    assert "backbone" in pre["params"] and "stem2" not in pre["params"]["backbone"]
+
+    # '*' keeps everything that resolves; unmatched names are reported not fatal
+    pre_all = convert_pretrained_trunk(state, layers=("*",))
+    assert "classifier.weight" in pre_all["unmatched"]
+    assert "incre_modules.0.0.conv1.weight" in pre_all["unmatched"]
+    assert "stem2" in pre_all["params"]["backbone"]
+
+    model = build_model(tiny_cfg)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+
+    merged, copied, skipped = merge_pretrained(variables["params"],
+                                               pre_all["params"])
+    # stem convs/bn copied, orientation OIHW->HWIO
+    np.testing.assert_allclose(
+        np.asarray(merged["backbone"]["stem1"]["conv"]["kernel"]),
+        state["conv1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(merged["backbone"]["stem1"]["bn"]["scale"]),
+        state["bn1.weight"])
+    assert any(p.endswith("stem2/conv/kernel") for p in copied)
+    # wrong-joint-count final conv skipped, init preserved
+    assert any("final_conv" in p for p in skipped)
+    np.testing.assert_allclose(
+        np.asarray(merged["final_conv"]["kernel"]),
+        np.asarray(variables["params"]["final_conv"]["kernel"]))
+    # untouched leaves stay at init
+    np.testing.assert_allclose(
+        np.asarray(merged["backbone"]["layer1"]["block0"]["cb1"]["conv"]["kernel"]),
+        np.asarray(variables["params"]["backbone"]["layer1"]["block0"]["cb1"]["conv"]["kernel"]))
+
+    m_stats, copied_s, _ = merge_pretrained(variables["batch_stats"],
+                                            pre_all["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(m_stats["backbone"]["stem1"]["bn"]["mean"]),
+        state["bn1.running_mean"])
+    assert len(copied_s) >= 2

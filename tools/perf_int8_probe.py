@@ -10,13 +10,16 @@ subtracted.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache", "jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 128

@@ -16,6 +16,7 @@ Sections (each timed with the chunked-dispatch methodology):
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -24,7 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache", "jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import os, sys
