@@ -19,9 +19,14 @@ weights the int8 path must decode within 0.1 heatmap px of the bf16 path
 (train AND held-out batches); measured TPU shift vs the bf16 fast path is
 0.0 px (tools/perf_quant_e2e.py).  Layer1 runs as ONE W8A8 VMEM-resident
 Pallas chain (ops/pallas/int8_chain.py, measured 6344 vs 6078 fps with the
-bf16 Pallas layer1; BENCH_L1CHAIN=0 disables).  Set BENCH_BF16=1 for the
-unquantized bf16 fast path (round-2 configuration, ~4500 fps);
-BENCH_STEM2=1 additionally quantizes the second stem conv.
+bf16 Pallas layer1; BENCH_L1CHAIN=0 disables), and the input is raw uint8
+normalized on device (serving-realistic, 4x less host->device traffic;
+6385.5 fps in the round-3 sweep — BENCH_UINT8=0 restores pre-normalized
+f32).  Set BENCH_BF16=1 for the unquantized bf16 fast path (round-2
+configuration, ~4500 fps); BENCH_STEM2=1 additionally quantizes the second
+stem conv (measured -1.6%, off); BENCH_INT8HEAD=1 feeds the fused head
+int8 stage outputs (neutral, off).  Full sweep: tools/bench_sweep.sh,
+results in PERF.md.
 
 Methodology note: this environment reaches the TPU through a relay with a
 ~30 ms round-trip, ``block_until_ready`` can report readiness before device
@@ -117,7 +122,7 @@ def main() -> None:
             stem2=os.environ.get("BENCH_STEM2", "0") != "0",
             layer1_chain=os.environ.get("BENCH_L1CHAIN", "1") != "0",
             int8_head=os.environ.get("BENCH_INT8HEAD", "0") != "0")
-        if os.environ.get("BENCH_UINT8", "0") != "0":
+        if os.environ.get("BENCH_UINT8", "1") != "0":
             # serving-realistic raw-uint8 input, normalized on device (4x
             # less input traffic than pre-normalized f32)
             from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
