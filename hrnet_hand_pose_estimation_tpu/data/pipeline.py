@@ -136,11 +136,14 @@ def device_prefetch(iterator: Iterator, mesh=None, depth: int = 2) -> Iterator:
 
     buf: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    failure: list = []
 
     def producer():
         try:
             for item in iterator:
                 buf.put(put(item))
+        except BaseException as e:  # surface in the consumer, don't truncate
+            failure.append(e)
         finally:
             buf.put(sentinel)
 
@@ -149,6 +152,8 @@ def device_prefetch(iterator: Iterator, mesh=None, depth: int = 2) -> Iterator:
     while True:
         item = buf.get()
         if item is sentinel:
+            if failure:
+                raise failure[0]
             return
         yield item
 

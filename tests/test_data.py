@@ -127,6 +127,22 @@ def test_dataloader_multihost_slices_disjoint_and_cover(monkeypatch):
     assert len(set(all_seen)) == 24  # disjoint slices covering the epoch
 
 
+def test_device_prefetch_propagates_producer_errors():
+    """A dataset/loader error inside the prefetch thread must raise in the
+    consumer, not silently truncate the epoch."""
+    from hrnet_hand_pose_estimation_tpu.data.pipeline import device_prefetch
+
+    def gen():
+        yield {"imgs": np.zeros((2, 8, 8, 3), np.float32)}
+        raise ValueError("corrupt sample")
+
+    it = device_prefetch(gen(), mesh=None, depth=2)
+    first = next(it)
+    assert first["imgs"].shape == (2, 8, 8, 3)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        next(it)
+
+
 def test_synthetic_dataset_targets_match_joints():
     ds = SyntheticDataset(length=4, img_size=64, hm_size=16)
     s = ds[0]
