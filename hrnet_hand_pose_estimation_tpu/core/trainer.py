@@ -155,6 +155,11 @@ class Trainer:
         accum_n = 0
         k_dispatch = self.steps_per_dispatch
         pending: list = []
+        # log every ~PRINT_FREQ optimizer steps (a pure `i % PRINT_FREQ`
+        # check never fires under K-steps-per-dispatch when PRINT_FREQ is
+        # not congruent with the dispatch boundary)
+        print_freq = max(int(cfg.PRINT_FREQ), 1)
+        last_log = self.train_global_steps - print_freq  # log the first iter
         for name, loader in self.train_loaders.items():
             loader.set_epoch(epoch)
             it = device_prefetch(iter(loader), self.mesh,
@@ -190,7 +195,8 @@ class Trainer:
                     accum = weighted if accum is None else jax.tree.map(
                         jnp.add, accum, weighted)
                     accum_n += bs
-                if i % int(cfg.PRINT_FREQ) == 0:
+                if self.train_global_steps - last_log >= print_freq:
+                    last_log = self.train_global_steps
                     host = {k: float(v) for k, v in losses.items()}
                     speed = n_samples / max(time.time() - t_start, 1e-9)
                     self.logger.info(

@@ -321,7 +321,10 @@ def test_train_multistep_sharded_on_mesh(tiny_cfg):
 
 def test_trainer_steps_per_dispatch(tiny_cfg, tmp_path):
     """Trainer with TPU.STEPS_PER_DISPATCH=2 must train the same number of
-    global steps/samples as per-step dispatch (incl. leftover flushing)."""
+    global steps/samples as per-step dispatch (incl. leftover flushing),
+    and periodic logging must fire even when PRINT_FREQ is incongruent
+    with the dispatch boundary (an `i % PRINT_FREQ` check never fires when
+    dispatches land on odd batch indices and PRINT_FREQ is even)."""
     from hrnet_hand_pose_estimation_tpu.core.trainer import Trainer
     from hrnet_hand_pose_estimation_tpu.data.build import make_dataloader
     from hrnet_hand_pose_estimation_tpu.models import build_model
@@ -331,7 +334,7 @@ def test_trainer_steps_per_dispatch(tiny_cfg, tmp_path):
     cfg.DATASET.TEST_DATASET = ["Synthetic_kpt"]
     cfg.TRAIN.IMAGES_PER_GPU = 16  # 64 synthetic samples -> 4 batches
     cfg.WORKERS = 0
-    cfg.PRINT_FREQ = 1000
+    cfg.PRINT_FREQ = 2             # dispatches land on batch i=1,3: i%2 != 0
     cfg.OUTPUT_DIR = str(tmp_path)
     cfg.LOG_DIR = str(tmp_path)
     cfg.TPU.STEPS_PER_DISPATCH = 2
@@ -343,6 +346,11 @@ def test_trainer_steps_per_dispatch(tiny_cfg, tmp_path):
     avgs = tr.train_epoch(epoch=1)
     assert avgs and np.isfinite(avgs["total_loss"])
     assert tr.train_global_steps == 4
+    import glob
+
+    logs = "".join(open(f).read()
+                   for f in glob.glob(f"{tmp_path}/**/*.log", recursive=True))
+    assert logs.count("speed") >= 2, "periodic train logging never fired"
 
 
 def test_evaluator2d_int8_serving(tiny_cfg, tmp_path):
