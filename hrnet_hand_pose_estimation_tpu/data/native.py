@@ -26,6 +26,19 @@ def _native_dir() -> str:
         os.path.abspath(__file__)))), "native")
 
 
+def _candidate_paths() -> list:
+    """Search order: explicit env override, the installed package copy
+    (setup.py builds it into the package), then the repo-checkout native/
+    dir (auto-built on first use)."""
+    paths = []
+    if os.environ.get("HANDPOSE_NATIVE_LIB"):
+        paths.append(os.environ["HANDPOSE_NATIVE_LIB"])
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths.append(os.path.join(pkg, "libfastops.so"))
+    paths.append(os.path.join(_native_dir(), "libfastops.so"))
+    return paths
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
@@ -33,8 +46,9 @@ def load_library() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("HANDPOSE_NO_NATIVE"):
         return None
-    so = os.path.join(_native_dir(), "libfastops.so")
-    if not os.path.exists(so):
+    so = next((p for p in _candidate_paths() if os.path.exists(p)), None)
+    if so is None:
+        so = os.path.join(_native_dir(), "libfastops.so")
         try:
             subprocess.run(["bash", os.path.join(_native_dir(), "build.sh")],
                            check=True, capture_output=True, timeout=120)
