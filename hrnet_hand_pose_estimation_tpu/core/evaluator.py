@@ -26,12 +26,14 @@ from .metrics import PoseMetricState, default_thresholds_2d, pck_at, pck_auc
 
 
 class Evaluator2D:
-    def __init__(self, cfg, model, variables, mesh=None, serving="std"):
+    def __init__(self, cfg, model, variables, mesh=None, serving="std",
+                 calib_path: str = ""):
         """``serving='int8'`` evaluates the calibrated W8A8 serving path
         (quant trunk + Pallas layer1 chain + stem2) instead of the standard
         forward — the deployment-accuracy check for the quantized model.
         Calibration uses the first eval batch (serving contract:
-        calibration data ~ serving data)."""
+        calibration data ~ serving data) unless ``calib_path`` names a
+        saved record from tools/calibrate.py."""
         if serving not in ("std", "int8"):
             raise ValueError(f"unknown serving mode: {serving!r}")
         if serving == "int8" and not cfg.MODEL.HEATMAP_SOFTMAX:
@@ -46,6 +48,7 @@ class Evaluator2D:
         self.variables = variables
         self.mesh = mesh
         self.serving = serving
+        self.calib_path = calib_path
         self._qfn = None
         self._qparams = None
         use_softmax = bool(cfg.MODEL.HEATMAP_SOFTMAX)
@@ -73,12 +76,17 @@ class Evaluator2D:
         self.thresholds = default_thresholds_2d()
 
     def _build_serving(self, calib_images) -> None:
-        """Calibrate + build the int8 serving forward on first use."""
-        from .quant_infer import (calibrate, make_quant_infer,
-                                  prepare_serving_qparams)
+        """Calibrate + build the int8 serving forward on first use (or load
+        a saved calibration record when ``calib_path`` was given)."""
+        from .quant_infer import (calibrate, load_calibration,
+                                  make_quant_infer, prepare_serving_qparams)
 
         on_cpu = jax.devices()[0].platform == "cpu"
-        amax = calibrate(self.cfg, self.variables, [np.asarray(calib_images)])
+        if self.calib_path:
+            amax = load_calibration(self.calib_path, self.cfg)
+        else:
+            amax = calibrate(self.cfg, self.variables,
+                             [np.asarray(calib_images)])
         self._qparams = prepare_serving_qparams(self.cfg, self.variables,
                                                 amax)
         self._qfn = make_quant_infer(self.cfg, interpret=on_cpu,

@@ -385,6 +385,51 @@ def calibrate(cfg, variables, batches: Sequence[jax.Array]
     return amax
 
 
+CALIBRATION_VERSION = 1
+
+
+def save_calibration(path: str, amax: Dict[str, float], cfg=None) -> None:
+    """Persist a calibration record ({site: amax}) as JSON.
+
+    The production serving flow calibrates ONCE offline (tools/calibrate.py)
+    and ships the record next to the checkpoint; serving entries
+    (tools/inference.py --calib, Evaluator2D(calib_path=...)) then build
+    qparams without touching calibration data.  ``cfg`` stamps the model
+    name / image size so a record cannot silently be applied to a different
+    architecture.
+    """
+    import json
+
+    rec = {
+        "version": CALIBRATION_VERSION,
+        "model": str(cfg.MODEL.NAME) if cfg is not None else "",
+        "image_size": ([int(v) for v in cfg.MODEL.IMAGE_SIZE]
+                       if cfg is not None else None),
+        "amax": {k: float(v) for k, v in sorted(amax.items())},
+    }
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+def load_calibration(path: str, cfg=None) -> Dict[str, float]:
+    """Load a calibration record written by ``save_calibration``; verifies
+    the version and (when ``cfg`` is given) the model stamp."""
+    import json
+
+    with open(path) as f:
+        rec = json.load(f)
+    if rec.get("version") != CALIBRATION_VERSION:
+        raise ValueError(
+            f"calibration record {path}: version {rec.get('version')!r}, "
+            f"expected {CALIBRATION_VERSION}")
+    if cfg is not None and rec.get("model"):
+        if rec["model"] != str(cfg.MODEL.NAME):
+            raise ValueError(
+                f"calibration record {path} was made for model "
+                f"{rec['model']!r}, config builds {str(cfg.MODEL.NAME)!r}")
+    return {k: float(v) for k, v in rec["amax"].items()}
+
+
 def quantize_weight(kernel) -> Tuple[np.ndarray, np.ndarray]:
     """Symmetric per-output-channel int8 weights; returns (kq, wscale).
     THE quantization scheme — the Pallas chains (ops/pallas/int8_chain.py)

@@ -262,3 +262,40 @@ def test_int8_trunk_decode_gate_trained(tiny_cfg):
             f"int8 chain+stem2+head decode shift {shift:.4f} px >= 0.1 px")
     # trained-regime sanity: decode varies across samples (non-degenerate)
     assert np.asarray(ref_fn(trained, {}, x_train)).std(axis=0).max() > 0.5
+
+
+def test_calibration_record_roundtrip(activated, tmp_path):
+    """save_calibration/load_calibration: the serving flow 'calibrate once
+    offline, ship the record' (tools/calibrate.py) must reproduce the
+    on-the-fly qparams exactly, and a record made for another model must be
+    rejected."""
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        load_calibration, prepare_serving_qparams, save_calibration)
+
+    cfg, model, v, x = activated
+    amax = calibrate(cfg, v, [np.asarray(x)])
+    path = str(tmp_path / "calibration.json")
+    save_calibration(path, amax, cfg)
+    loaded = load_calibration(path, cfg)
+    assert set(loaded) == set(amax)
+    for site in amax:
+        assert loaded[site] == pytest.approx(float(amax[site]), rel=1e-6)
+
+    # qparams built from the loaded record == from the fresh amax
+    qp_fresh = prepare_serving_qparams(cfg, v, amax, layer1_chain=False)
+    qp_loaded = prepare_serving_qparams(cfg, v, loaded, layer1_chain=False)
+    assert set(qp_fresh) == set(qp_loaded)
+    for site in qp_fresh:
+        np.testing.assert_array_equal(np.asarray(qp_fresh[site]["kq"]),
+                                      np.asarray(qp_loaded[site]["kq"]))
+        assert float(qp_fresh[site]["sa"]) == float(qp_loaded[site]["sa"])
+
+    # model stamp guards against cross-architecture reuse
+    import json
+
+    rec = json.load(open(path))
+    rec["model"] = "pose_resnet"
+    mismatched = str(tmp_path / "wrong.json")
+    json.dump(rec, open(mismatched, "w"))
+    with pytest.raises(ValueError, match="made for model"):
+        load_calibration(mismatched, cfg)

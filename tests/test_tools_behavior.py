@@ -251,3 +251,29 @@ def test_inference_tool_int8_serving(tmp_path, rng):
               "--serving", "int8"])
     assert r.returncode == 0, r.stderr[-800:]
     assert (out / "pred_a.png").exists() and (out / "pred_b.png").exists()
+
+
+@pytest.mark.slow
+def test_calibrate_tool_and_saved_record_serving(tmp_path, rng):
+    """tools/calibrate.py writes a calibration record; inference.py
+    --serving int8 --calib <record> serves from it without touching
+    calibration data (the production 'calibrate once, deploy' flow)."""
+    img_dir, out = tmp_path / "imgs", tmp_path / "out"
+    os.makedirs(img_dir)
+    for name in ("a", "b"):
+        cv2.imwrite(str(img_dir / f"{name}.png"),
+                    rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8))
+    calib = str(tmp_path / "calibration.json")
+    cfg = os.path.join(REPO, "experiments/synthetic_smoke.yaml")
+    r = _run([os.path.join(TOOLS, "calibrate.py"), "--cfg", cfg,
+              "--image_path", str(img_dir), "--out", calib])
+    assert r.returncode == 0, r.stderr[-800:]
+    rec = json.load(open(calib))
+    assert rec["version"] == 1 and rec["amax"]
+    assert any(s.startswith("stage4") for s in rec["amax"])
+
+    r = _run([os.path.join(TOOLS, "inference.py"), "--cfg", cfg,
+              "--image_path", str(img_dir), "--out_dir", str(out),
+              "--serving", "int8", "--calib", calib])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (out / "pred_a.png").exists() and (out / "pred_b.png").exists()

@@ -20,6 +20,10 @@ def main() -> None:
     p.add_argument("--serving", default="std", choices=("std", "int8"),
                    help="evaluate the standard forward or the calibrated "
                         "int8 W8A8 serving path (deployment-accuracy check)")
+    p.add_argument("--calib", default="",
+                   help="saved calibration record (tools/calibrate.py) for "
+                        "--serving int8; default calibrates on the first "
+                        "eval batch")
     args = p.parse_args()
     setup_platform(args.platform)
 
@@ -55,7 +59,7 @@ def main() -> None:
         mesh = None
 
     evaluator = Evaluator2D(cfg, model, variables, mesh=mesh,
-                            serving=args.serving)
+                            serving=args.serving, calib_path=args.calib)
     results = evaluator.run(loader, dataset_name=name, output_dir=args.out)
     print(json.dumps(results, indent=2))
 

@@ -48,12 +48,14 @@ def draw_skeleton(img_bgr, pose2d):
     return img_bgr
 
 
-def make_serving_fn(cfg, variables, mode: str, calib_images, interpret: bool):
+def make_serving_fn(cfg, variables, mode: str, calib_images, interpret: bool,
+                    calib_path: str = ""):
     """Build the forward for --serving: 'std' (plain model forward), 'fast'
     (bf16 Pallas fast path), 'int8' (W8A8 trunk + Pallas layer1 chain +
     stem2, calibrated on the provided frames — the serving contract is
-    calibration data ~ serving data).  All return (heatmaps_or_None,
-    pose2d) in heatmap pixels like make_forward_fn."""
+    calibration data ~ serving data; or on a saved ``--calib`` record from
+    tools/calibrate.py).  All return (heatmaps_or_None, pose2d) in heatmap
+    pixels like make_forward_fn."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -71,9 +73,13 @@ def make_serving_fn(cfg, variables, mode: str, calib_images, interpret: bool):
         return lambda v, x: (None, fast(v, x))
     if mode == "int8":
         from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
-            calibrate, make_quant_infer, prepare_serving_qparams)
+            calibrate, load_calibration, make_quant_infer,
+            prepare_serving_qparams)
 
-        amax = calibrate(cfg, variables, [np.stack(calib_images)])
+        if calib_path:
+            amax = load_calibration(calib_path, cfg)
+        else:
+            amax = calibrate(cfg, variables, [np.stack(calib_images)])
         qparams = prepare_serving_qparams(cfg, variables, amax)
         qfn = make_quant_infer(cfg, interpret=interpret,
                                pallas_layer1=not interpret)
@@ -90,6 +96,9 @@ def main() -> None:
                    choices=("std", "fast", "int8"),
                    help="forward path: std model, bf16 Pallas fast path, or "
                         "the calibrated int8 W8A8 serving trunk")
+    p.add_argument("--calib", default="",
+                   help="saved calibration record (tools/calibrate.py) for "
+                        "--serving int8; skips on-the-fly calibration")
     args = p.parse_args()
     setup_platform(args.platform)
 
@@ -118,9 +127,11 @@ def main() -> None:
             normalize_image)
 
         # calibration frames for int8 = the first few serving inputs
-        # ('fast' needs none — skip the extra decode pass)
+        # ('fast' needs none, and a saved --calib record replaces them)
         calib = []
-        if args.serving == "int8" and args.video_path:
+        if args.serving == "int8" and args.calib:
+            pass
+        elif args.serving == "int8" and args.video_path:
             cap = cv2.VideoCapture(args.video_path)
             while len(calib) < 8:
                 ok, frame = cap.read()
@@ -141,11 +152,12 @@ def main() -> None:
                 rgb = cv2.cvtColor(cv2.resize(img, (size, size)),
                                    cv2.COLOR_BGR2RGB)
                 calib.append(normalize_image(rgb))
-        if args.serving == "int8" and not calib:
+        if args.serving == "int8" and not calib and not args.calib:
             raise SystemExit("--serving int8 needs at least one input to "
-                             "calibrate on")
+                             "calibrate on (or a saved --calib record)")
         interpret = jax.devices()[0].platform == "cpu"
-        fwd = make_serving_fn(cfg, variables, args.serving, calib, interpret)
+        fwd = make_serving_fn(cfg, variables, args.serving, calib, interpret,
+                              calib_path=args.calib)
 
     os.makedirs(args.out_dir, exist_ok=True)
 
