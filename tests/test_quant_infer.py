@@ -299,3 +299,57 @@ def test_calibration_record_roundtrip(activated, tmp_path):
     json.dump(rec, open(mismatched, "w"))
     with pytest.raises(ValueError, match="made for model"):
         load_calibration(mismatched, cfg)
+
+
+@pytest.mark.slow
+def test_int8_trunk_full_depth_feature_gate():
+    """FULL-depth w32 int8 walk: per-branch feature error stays bounded.
+
+    The tiny decode gate (test_int8_trunk_decode_gate_trained) proves the
+    <0.1 px serving contract in the trained regime; this test proves the
+    quantized walk stays numerically coherent over the full 208-site w32
+    topology (4 stages, 104 branch convs deep).  The gate is FEATURE
+    relative error, not decoded pixels: on random He-boosted weights the
+    softmax heatmaps are essentially flat (max prob ~3x uniform), and
+    soft-argmax of a near-uniform distribution amplifies any perturbation
+    into tens of pixels — an artifact of the degenerate fixture, not of
+    quantization (trained heatmaps are peaked, where decode is robust;
+    measured: ~2.5% feature error here vs <0.1 px decode shift on trained
+    weights)."""
+    from hrnet_hand_pose_estimation_tpu.config import load_config
+    from hrnet_hand_pose_estimation_tpu.config.defaults import (
+        POSE_HIGH_RESOLUTION_NET_EXTRA)
+    from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
+        _stem, apply_trunk)
+    from functools import partial
+
+    cfg = load_config(freeze=False)
+    cfg.MODEL.NAME = "pose_hrnet_softmax"
+    cfg.MODEL.HEATMAP_SOFTMAX = True
+    cfg.MODEL.TRAINABLE_SOFTMAX = True
+    cfg.MODEL.EXTRA.merge_from_mapping(POSE_HIGH_RESOLUTION_NET_EXTRA)
+    cfg = cfg.freeze()
+    model = hrnet_from_cfg(cfg, head="softmax")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 256, 256, 3)).astype(np.float32))
+    v = _activated_variables(model, x, rng)
+
+    amax = calibrate(cfg, v, [np.asarray(x)])
+    qparams = prepare_quant_params(cfg, v, amax, scope="branch")
+    assert len(qparams) == 208  # 2 convs x 104 BasicBlocks across stages 2-4
+
+    @partial(jax.jit, static_argnames=("mode",))
+    def feats(v, x, mode, qp):
+        s = _stem(v, x)
+        xs, _ = apply_trunk(cfg, v, s, mode=mode, qparams=qp,
+                            include_layer1=True)
+        return xs
+
+    ref = feats(v, x, "f32", {})
+    got = feats(v, x, "quant", qparams)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        r = np.asarray(r, np.float32)
+        g = np.asarray(g, np.float32)
+        assert g.shape == r.shape
+        rel = np.abs(g - r).mean() / (np.abs(r).mean() + 1e-9)
+        assert rel < 0.05, f"branch{i} int8 feature error {rel:.4f} >= 5%"
