@@ -413,7 +413,7 @@ def save_calibration(path: str, amax: Dict[str, float], cfg=None) -> None:
 
 def load_calibration(path: str, cfg=None) -> Dict[str, float]:
     """Load a calibration record written by ``save_calibration``; verifies
-    the version and (when ``cfg`` is given) the model stamp."""
+    the version and (when ``cfg`` is given) the model / image-size stamps."""
     import json
 
     with open(path) as f:
@@ -427,6 +427,13 @@ def load_calibration(path: str, cfg=None) -> Dict[str, float]:
             raise ValueError(
                 f"calibration record {path} was made for model "
                 f"{rec['model']!r}, config builds {str(cfg.MODEL.NAME)!r}")
+    if cfg is not None and rec.get("image_size"):
+        want = [int(v) for v in cfg.MODEL.IMAGE_SIZE]
+        if [int(v) for v in rec["image_size"]] != want:
+            raise ValueError(
+                f"calibration record {path} was made at image size "
+                f"{rec['image_size']}, config uses {want} (activation "
+                f"maxima are resolution-dependent; recalibrate)")
     return {k: float(v) for k, v in rec["amax"].items()}
 
 

@@ -300,6 +300,15 @@ def test_calibration_record_roundtrip(activated, tmp_path):
     with pytest.raises(ValueError, match="made for model"):
         load_calibration(mismatched, cfg)
 
+    # image-size stamp guards against cross-resolution reuse (activation
+    # maxima are resolution-dependent)
+    rec = json.load(open(path))
+    rec["image_size"] = [2 * int(v) for v in rec["image_size"]]
+    wrong_size = str(tmp_path / "wrong_size.json")
+    json.dump(rec, open(wrong_size, "w"))
+    with pytest.raises(ValueError, match="image size"):
+        load_calibration(wrong_size, cfg)
+
 
 @pytest.mark.slow
 def test_int8_trunk_full_depth_feature_gate():
