@@ -30,8 +30,23 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = int(os.environ.get("PERF_BATCH", "128"))
-KS = tuple(int(k) for k in os.environ.get("PERF_KS", "1,2,4,8").split(","))
+KS = tuple(int(k.strip()) for k in os.environ.get("PERF_KS", "1,2,4,8").split(","))
 DISPATCHES = int(os.environ.get("PERF_DISPATCHES", "4"))
+
+
+def _dispatch_overhead_s() -> float:
+    """Measure host dispatch overhead empirically: time DISPATCHES dispatches
+    of a trivially small donated-state jitted program (same chaining pattern
+    as the sweep loop) instead of assuming a fixed constant."""
+    tiny = jax.jit(lambda x: x + 1.0, donate_argnums=(0,))
+    x = jnp.zeros((8,), jnp.float32)
+    x = tiny(x)  # compile + warm
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(DISPATCHES):
+        x = tiny(x)
+    jax.block_until_ready(x)
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -57,7 +72,9 @@ def main() -> None:
         jax.random.key(0), bufs[0][:1], False)
     params, stats = variables["params"], variables["batch_stats"]
     tx = optax.adam(1e-3)
-    print(f"init done (B={BATCH}, Ks={KS})", flush=True)
+    overhead = _dispatch_overhead_s()
+    print(f"init done (B={BATCH}, Ks={KS}, measured dispatch overhead "
+          f"{overhead * 1e3:.1f} ms / {DISPATCHES} dispatches)", flush=True)
 
     for k in KS:
         stacked = {
@@ -76,7 +93,7 @@ def main() -> None:
         for _ in range(DISPATCHES):
             state, losses = multi(state, stacked)      # chained via state
         float(losses["total_loss"][-1])
-        total = time.perf_counter() - t0 - 0.03
+        total = max(time.perf_counter() - t0 - overhead, 0.0)
         ms = total / (DISPATCHES * k) * 1e3
         print(f"K={k:2d}: {ms:7.2f} ms/step ({BATCH/ms*1000:.0f} fps)",
               flush=True)
