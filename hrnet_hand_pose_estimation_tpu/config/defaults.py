@@ -246,6 +246,15 @@ def default_config() -> ConfigNode:
     # >1 amortizes host->device dispatch latency, same motivation as the
     # reference's DataPrefetcher (lib/dataset/build.py:8-40) on CUDA streams
     tpu.STEPS_PER_DISPATCH = 1
+    # train-mode BN statistics levers (models/layers.py set_bn_levers):
+    # BN_STAT_SAMPLES=n computes batch statistics over the first n samples
+    # only (ghost-BN-style subsampling — noisier stats, B/n less stat-pass
+    # HBM traffic; running averages follow the subsample).  BN_STAT_DTYPE
+    # ("bfloat16") accumulates the mean/var reductions in bf16.  Both
+    # default OFF: the standard flax BatchNorm path, numerically unchanged.
+    # Measured impact at B=128 on w32@256 is recorded in PERF.md round 4.
+    tpu.BN_STAT_SAMPLES = 0
+    tpu.BN_STAT_DTYPE = ""
     tpu.SEED = 0
     # anomaly guard (the reference trains under
     # torch.autograd.set_detect_anomaly(True), tools/train.py:335): when on,

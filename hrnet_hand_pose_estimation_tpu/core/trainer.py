@@ -113,6 +113,18 @@ class Trainer:
 
         from .train_variants import pick_train_step
 
+        # train-mode BN statistics levers (trace-time static — must be set
+        # before the train step's first trace; eval traces use running
+        # stats and are unaffected).  Config default is off.
+        if int(cfg.TPU.BN_STAT_SAMPLES) or str(cfg.TPU.BN_STAT_DTYPE):
+            from ..models.layers import set_bn_levers
+
+            set_bn_levers(int(cfg.TPU.BN_STAT_SAMPLES),
+                          str(cfg.TPU.BN_STAT_DTYPE) or None)
+            self.logger.info(
+                "BN statistics levers active: stat_samples=%s stat_dtype=%s",
+                cfg.TPU.BN_STAT_SAMPLES, cfg.TPU.BN_STAT_DTYPE or "f32")
+
         self.train_step = pick_train_step(cfg, model, self.tx, self.mesh)
         # device-resident multi-step: K train steps per dispatch (standard
         # 2D path only; CPM/mv variants keep per-step dispatch)

@@ -102,3 +102,29 @@ def test_train_step_with_levers(tiny_cfg):
     stem_bn = new_state.batch_stats["backbone"]["stem1"]["bn"]
     assert set(stem_bn) == {"mean", "var"}
     assert float(np.abs(np.asarray(stem_bn["mean"])).max()) > 0.0
+
+
+@pytest.mark.slow
+def test_trainer_applies_config_bn_levers(tiny_cfg, tmp_path):
+    """cfg.TPU.BN_STAT_SAMPLES/BN_STAT_DTYPE thread through the Trainer:
+    the levers are active for the train-step trace and training runs."""
+    from hrnet_hand_pose_estimation_tpu.core.trainer import Trainer
+    from hrnet_hand_pose_estimation_tpu.data.build import make_dataloader
+    from hrnet_hand_pose_estimation_tpu.models import build_model
+
+    cfg = tiny_cfg.clone()
+    cfg.DATASET.DATASET = ["Synthetic_kpt"]
+    cfg.DATASET.TEST_DATASET = ["Synthetic_kpt"]
+    cfg.TRAIN.IMAGES_PER_GPU = 16
+    cfg.WORKERS = 0
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.LOG_DIR = str(tmp_path)
+    cfg.TPU.BN_STAT_SAMPLES = 4
+    cfg.TPU.BN_STAT_DTYPE = "bfloat16"
+    cfg = cfg.freeze()
+
+    loaders = make_dataloader(cfg, is_train=True, n_devices=1)
+    tr = Trainer(cfg, build_model(cfg), loaders, output_dir=str(tmp_path))
+    assert bn_levers_active()  # Trainer.__init__ armed the levers
+    avgs = tr.train_epoch(epoch=1)
+    assert avgs and np.isfinite(avgs["total_loss"])
