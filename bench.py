@@ -9,24 +9,26 @@ end-to-end inference (forward + soft-argmax decode).  The reference repo
 never persisted an absolute fps; 5000/chip is the driver's north star.
 
 Serving configuration measured here: the int8 W8A8 trunk
-(core/quant_infer.py) — stage2-4 branch convs quantized with per-channel
+(core/quant_infer.py) at 'exchange' scope — stage2-4 branch convs PLUS
+the transition and exchange-fusion convs quantized with per-channel
 weight scales and calibrated per-tensor activation scales, everything
-precision-sensitive (stem, Pallas layer1, exchange fusions, transitions,
-head/decode) in bf16.  Calibration + weight quantization are offline
-serving-setup steps and excluded from the timed region, exactly as compile
-time is.  Accuracy is gated in tests/test_quant_infer.py: on trained
-weights the int8 path must decode within 0.1 heatmap px of the bf16 path
-(train AND held-out batches); measured TPU shift vs the bf16 fast path is
-0.0 px (tools/perf_quant_e2e.py).  Layer1 runs as ONE W8A8 VMEM-resident
-Pallas chain (ops/pallas/int8_chain.py, measured 6344 vs 6078 fps with the
-bf16 Pallas layer1; BENCH_L1CHAIN=0 disables), and the input is raw uint8
-normalized on device (serving-realistic, 4x less host->device traffic;
-6385.5 fps in the round-3 sweep — BENCH_UINT8=0 restores pre-normalized
-f32).  Set BENCH_BF16=1 for the unquantized bf16 fast path (round-2
-configuration, ~4500 fps); BENCH_STEM2=1 additionally quantizes the second
-stem conv (measured -1.6%, off); BENCH_INT8HEAD=1 feeds the fused head
-int8 stage outputs (neutral, off).  Full sweep: tools/bench_sweep.sh,
-results in PERF.md.
+precision-sensitive (stem, Pallas layer1, head/decode) in bf16.
+Calibration + weight quantization are offline serving-setup steps and
+excluded from the timed region, exactly as compile time is.  Accuracy is
+gated in tests/test_quant_infer.py AND at full size on trained weights
+(tools/accuracy_gate_full.py: max decode shift 0.033 px vs the f32 walk
+for both scopes, 3x under the 0.1 px gate).  Layer1 runs as ONE W8A8
+VMEM-resident Pallas chain (ops/pallas/int8_chain.py, measured 6344 vs
+6078 fps with the bf16 Pallas layer1; BENCH_L1CHAIN=0 disables), and the
+input is raw uint8 normalized on device (serving-realistic, 4x less
+host->device traffic — BENCH_UINT8=0 restores pre-normalized f32).
+Knobs: BENCH_SCOPE=branch reverts to the round-3 conservative scope
+(measured 6420 vs 6615 fps — the exchange scope is +3%, PERF.md round-4
+section); BENCH_BF16=1 is the unquantized bf16 fast path (round-2
+configuration, ~4500 fps); BENCH_STEM2=1 additionally quantizes the
+second stem conv (measured -1.6%, off); BENCH_INT8HEAD=1 feeds the fused
+head int8 stage outputs (neutral, off).  Full sweep:
+tools/bench_sweep.sh, results in PERF.md.
 
 Methodology note: this environment reaches the TPU through a relay with a
 ~30 ms round-trip, ``block_until_ready`` can report readiness before device
@@ -119,6 +121,7 @@ def main() -> None:
         amax = calibrate(cfg, variables, [bufs[0][:16]])
         qparams = prepare_serving_qparams(
             cfg, variables, amax,
+            scope=os.environ.get("BENCH_SCOPE", "exchange"),
             stem2=os.environ.get("BENCH_STEM2", "0") != "0",
             layer1_chain=os.environ.get("BENCH_L1CHAIN", "1") != "0",
             int8_head=os.environ.get("BENCH_INT8HEAD", "0") != "0")

@@ -2,9 +2,10 @@
 
 TPU v5e runs int8 MXU matmuls at 2x the bf16 rate; stage3/4 conv time is
 where the remaining fps gap lives (PERF.md).  This module quantizes the
-stage BRANCH convs (the 3x3 BasicBlock chains carrying ~80% of stage FLOPs)
-to W8A8 and keeps everything precision-sensitive — stem, layer1, exchange
-fusions, transitions, head — in bf16:
+stage convs — the 3x3 BasicBlock branch chains (~80% of stage FLOPs) plus,
+in the shipped 'exchange' scope, the transition and exchange-fusion convs
+— to W8A8 and keeps everything precision-sensitive (stem, head; layer1 is
+served by its own W8A8 Pallas chain) in bf16:
 
 - weights: BN-folded then symmetric per-output-channel int8
   (``scale[c] = max|k'[..., c]| / 127``)
@@ -125,7 +126,7 @@ class _Walk:
         """One ConvBN site.  Which sites actually run int8 is decided
         OFFLINE by ``prepare_quant_params``'s scope — membership in
         ``self.q`` is the only runtime switch (``quantized`` is kept for
-        call-site documentation of the default 'branch' scope)."""
+        call-site documentation of the conservative 'branch' scope)."""
         node_p, node_s = self.p, self.s
         for k in path:
             node_p, node_s = node_p[k], node_s[k]
@@ -224,12 +225,17 @@ class _Walk:
 def quant_sites(cfg, scope: str = "branch", stem2: bool = False) -> List[str]:
     """Sites to quantize.
 
-    scope 'branch' — stage2-4 BasicBlock branch convs (the conservative
-    default: ~80% of stage FLOPs, exchange topology untouched);
-    scope 'wide'  — additionally layer1 bottlenecks, transition convs and
-    the exchange-fusion convs (everything except stem and head);
-    ``stem2``    — additionally the second stem conv (64->64 3x3/s2; its
-    input is the post-ReLU stem1 output, calibrated like every other site).
+    scope 'branch'   — stage2-4 BasicBlock branch convs (the conservative
+    subset: ~80% of stage FLOPs, exchange topology untouched);
+    scope 'exchange' — additionally the transition convs and the
+    exchange-fusion convs (everything except stem, layer1 and head —
+    layer1 is served by the W8A8 Pallas chain, so this is exactly the
+    superset compatible with the shipped configuration);
+    scope 'wide'     — 'exchange' plus the layer1 bottlenecks for the
+    XLA-walk layer1 path (``apply_trunk(include_layer1=True)``);
+    ``stem2``        — additionally the second stem conv (64->64 3x3/s2;
+    its input is the post-ReLU stem1 output, calibrated like every other
+    site).
     """
     sites = ["stem2"] if stem2 else []
     cfgs = stage_cfgs(cfg)
@@ -245,6 +251,7 @@ def quant_sites(cfg, scope: str = "branch", stem2: bool = False) -> List[str]:
                 sites.append(f"layer1/block{b}/{cb}")
             if b == 0:
                 sites.append("layer1/block0/downsample")
+    if scope in ("wide", "exchange"):
         s2, s3, s4 = cfgs
         pre = [(256,), s2.out_channels, s3.out_channels]
         for t, (name, stage) in enumerate(
@@ -483,13 +490,18 @@ def prepare_quant_params(cfg, variables, amax: Dict[str, float],
 
 
 def prepare_serving_qparams(cfg, variables, amax: Dict[str, float],
-                            scope: str = "branch", stem2: bool = True,
+                            scope: str = "exchange", stem2: bool = True,
                             layer1_chain: bool = True,
                             int8_head: bool = False) -> Params:
-    """THE shipped serving configuration, in one place: branch-scope int8
-    trunk + W8A8 stem2 + the W8A8 Pallas layer1 chain (+ optionally int8
-    head inputs).  bench.py, Evaluator2D(serving='int8') and
-    tools/inference.py --serving int8 all build their qparams here."""
+    """THE shipped serving configuration, in one place: exchange-scope int8
+    trunk (stage2-4 branch + transition + exchange-fusion convs) + W8A8
+    stem2 + the W8A8 Pallas layer1 chain (+ optionally int8 head inputs).
+    bench.py, Evaluator2D(serving='int8') and tools/inference.py
+    --serving int8 all build their qparams here.  scope='branch' reverts
+    to the round-3 conservative subset (measured ~3% slower, PERF.md
+    round-4 exchange section); accuracy for BOTH scopes is decode-gated
+    at full size on trained weights (tools/accuracy_gate_full.py: max
+    shift 0.033 px on either, 3x under the 0.1 px gate)."""
     qparams = dict(prepare_quant_params(cfg, variables, amax, scope=scope,
                                         stem2=stem2))
     if layer1_chain:

@@ -88,11 +88,19 @@ def test_quant_walk_f32_matches_flax_backbone(activated):
 def test_calibrate_covers_all_quant_sites(activated):
     cfg, model, v, x = activated
     amax = calibrate(cfg, v, [np.asarray(x[:2]), np.asarray(x[2:])])
-    for scope in ("branch", "wide"):
+    for scope in ("branch", "exchange", "wide"):
         sites = quant_sites(cfg, scope)
         missing = [s for s in sites if s not in amax]
         assert not missing, f"[{scope}] uncalibrated sites: {missing[:5]}"
-    assert len(quant_sites(cfg, "wide")) > len(quant_sites(cfg, "branch"))
+    branch = set(quant_sites(cfg, "branch"))
+    exchange = set(quant_sites(cfg, "exchange"))
+    wide = set(quant_sites(cfg, "wide"))
+    assert branch < exchange < wide
+    # 'exchange' is the shipped-chain-compatible superset: no layer1 sites
+    assert not any(s.startswith("layer1/") for s in exchange)
+    assert any(s.startswith("layer1/") for s in wide)
+    assert any("fuse" in s for s in exchange)
+    assert any(s.startswith("transition") for s in exchange)
     assert all(m > 0 for m in amax.values())
 
 
@@ -250,6 +258,10 @@ def test_int8_trunk_decode_gate_trained(tiny_cfg):
                                               stem2=True))
     qparams_chain[LAYER1_CHAIN_KEY] = prepare_layer1_int8(trained, amax)[0]
     qparams_chain[HEAD_SCALES_KEY] = prepare_head_input_scales(amax)
+    # 'exchange' scope on top of the chain: int8 transitions + fuse convs
+    qparams_exch = dict(prepare_quant_params(cfg, trained, amax,
+                                             scope="exchange"))
+    qparams_exch[LAYER1_CHAIN_KEY] = qparams_chain[LAYER1_CHAIN_KEY]
     for x in (x_train, x_held):
         ref = np.asarray(ref_fn(trained, {}, x))
         got = np.asarray(q_fn(trained, qparams, x))
@@ -260,6 +272,11 @@ def test_int8_trunk_decode_gate_trained(tiny_cfg):
         shift = np.abs(got_chain - ref).max()
         assert shift < 0.1, (
             f"int8 chain+stem2+head decode shift {shift:.4f} px >= 0.1 px")
+        # exchange scope (int8 transitions + exchange-fusion convs): same gate
+        got_exch = np.asarray(q_fn(trained, qparams_exch, x))
+        shift = np.abs(got_exch - ref).max()
+        assert shift < 0.1, (
+            f"int8 exchange-scope decode shift {shift:.4f} px >= 0.1 px")
     # trained-regime sanity: decode varies across samples (non-degenerate)
     assert np.asarray(ref_fn(trained, {}, x_train)).std(axis=0).max() > 0.5
 

@@ -5,12 +5,13 @@ test_int8_trunk_decode_gate_trained) to pose_hrnet_w32 @256x256: train the
 full model a few hundred synthetic steps on-device (the trained regime —
 the reference's accuracy contract is end-to-end metrics on trained nets,
 reference tools/evaluate_2D.py:268-274), then require the SHIPPED serving
-configuration (branch-scope int8 trunk + W8A8 Pallas layer1 chain + W8A8
+configuration (exchange-scope int8 trunk + W8A8 Pallas layer1 chain + W8A8
 stem2 + raw-uint8 device-side input — exactly bench.py's defaults) to
 decode within 0.1 heatmap px of the unquantized f32 walk on train AND
 held-out batches.
 
-Two gates are reported:
+Two gates are reported per serving scope (GATE_SCOPES, default
+"branch,exchange" — the shipped scope plus the int8-exchange superset):
   [A] int8 serving path on pre-normalized f32 input vs f32 walk
       — isolates int8 quantization drift proper;
   [B] full shipped path on raw uint8 (device-side normalize) vs f32 walk
@@ -45,6 +46,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 STEPS = int(os.environ.get("GATE_STEPS", "300"))
 BATCH = int(os.environ.get("GATE_BATCH", "32"))
 HELD = 16
+SCOPES = tuple(s.strip() for s in
+               os.environ.get("GATE_SCOPES", "branch,exchange").split(","))
 
 
 def flagship_train_cfg():
@@ -139,29 +142,31 @@ def run() -> dict:
     assert err < 1.5, f"did not train to localise (mean err {err:.2f} px)"
 
     amax = calibrate(cfg, trained, [xf_train[:16]])
-    qparams = prepare_serving_qparams(cfg, trained, amax)
 
-    # [A] shipped int8 path, pre-normalized f32 input
+    # [A] int8 path, pre-normalized f32 input
     q_fn = make_quant_infer(cfg, interpret=interpret)
-    # [B] shipped int8 path, raw uint8 input with device-side normalize
+    # [B] int8 path, raw uint8 input with device-side normalize
     u8_fn = make_quant_infer(cfg, interpret=interpret,
                              input_norm=(IMAGENET_MEAN, IMAGENET_STD))
 
     results = {"steps": STEPS, "batch": BATCH, "train_decode_err_px": float(err)}
-    for name, xf, u8 in (("train", xf_train[:HELD], None),
-                         ("held-out", xf_held, u8_held)):
-        ref = np.asarray(ref_fn(trained, {}, jnp.asarray(xf)))
-        got_a = np.asarray(q_fn(trained, qparams, jnp.asarray(xf)))
-        shift_a = float(np.abs(got_a - ref).max())
-        results[f"shift_int8_{name}"] = shift_a
-        print(f"[A] int8 serving vs f32 walk ({name}): "
-              f"max decode shift {shift_a:.4f} px", flush=True)
-        if u8 is not None:
-            got_b = np.asarray(u8_fn(trained, qparams, jnp.asarray(u8)))
-            shift_b = float(np.abs(got_b - ref).max())
-            results[f"shift_uint8_{name}"] = shift_b
-            print(f"[B] shipped uint8 path vs f32 walk ({name}): "
-                  f"max decode shift {shift_b:.4f} px", flush=True)
+    for scope in SCOPES:
+        qparams = prepare_serving_qparams(cfg, trained, amax, scope=scope)
+        tag = "" if scope == "branch" else f"_{scope}"
+        for name, xf, u8 in (("train", xf_train[:HELD], None),
+                             ("held-out", xf_held, u8_held)):
+            ref = np.asarray(ref_fn(trained, {}, jnp.asarray(xf)))
+            got_a = np.asarray(q_fn(trained, qparams, jnp.asarray(xf)))
+            shift_a = float(np.abs(got_a - ref).max())
+            results[f"shift_int8{tag}_{name}"] = shift_a
+            print(f"[A:{scope}] int8 serving vs f32 walk ({name}): "
+                  f"max decode shift {shift_a:.4f} px", flush=True)
+            if u8 is not None:
+                got_b = np.asarray(u8_fn(trained, qparams, jnp.asarray(u8)))
+                shift_b = float(np.abs(got_b - ref).max())
+                results[f"shift_uint8{tag}_{name}"] = shift_b
+                print(f"[B:{scope}] uint8 path vs f32 walk ({name}): "
+                      f"max decode shift {shift_b:.4f} px", flush=True)
     # non-degeneracy: decode varies across samples
     assert ref_train.std(axis=0).max() > 0.5, "degenerate decode"
 

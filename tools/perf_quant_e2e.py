@@ -95,20 +95,21 @@ def main():
               f"max {np.abs(got-ref).max():.5f} px, "
               f"mean {np.abs(got-ref).mean():.5f} px", flush=True)
 
-    for scope in ("branch", "wide"):
+    for scope in ("branch", "exchange", "wide"):
         t0 = time.time()
         qparams = prepare_quant_params(cfg, variables, amax, scope=scope)
         print(f"[{scope}] prepared {len(qparams)} int8 sites in "
               f"{time.time()-t0:.0f}s", flush=True)
         report(scope, qparams)
 
-    # the shipped serving config (one definition: prepare_serving_qparams)
+    # the shipped serving config (one definition: prepare_serving_qparams;
+    # default scope='exchange' since round 4)
     from hrnet_hand_pose_estimation_tpu.core.quant_infer import (
         prepare_serving_qparams)
 
-    report("branch+l1chain+stem2",
+    report("exchange+l1chain+stem2",
            prepare_serving_qparams(cfg, variables, amax))
-    report("branch+l1chain+stem2+int8head",
+    report("exchange+l1chain+stem2+int8head",
            prepare_serving_qparams(cfg, variables, amax, int8_head=True))
 
 
