@@ -130,8 +130,13 @@ class Evaluator2D:
             if vis.ndim == 3:
                 vis = vis[..., 0]
 
-            # rescale to original image (reference :235-245)
-            if "corner" in batch and "RHD" in (dataset_name or "RHD"):
+            # rescale to original image (reference :235-245); the mode is
+            # DECLARED by the reader (``dataset.rescale``), not inferred
+            # from batch keys — a non-crop reader that happens to carry a
+            # ``corner`` field must still take the orig-size path
+            rescale = getattr(getattr(loader, "dataset", None),
+                              "rescale", "orig_size")
+            if rescale == "crop_corner" and "corner" in batch:
                 crop = np.asarray(batch["crop_size"], np.float32).reshape(-1, 1, 1)
                 corner = np.asarray(batch["corner"], np.float32)[:, None, :]
                 pose2d_pred = pose2d_pred * crop / hm_size + corner

@@ -28,6 +28,9 @@ class RHDDataset:
 
     name = "RHD"
     orig_img_size = (320, 320)
+    # eval-time rescale back to the original image goes through the crop
+    # corner + crop size carried in each sample (tools/evaluate_2D.py:235-239)
+    rescale = "crop_corner"
 
     def __init__(self, root: str, subset: str, data_format: Optional[str] = None,
                  transforms=None):

@@ -54,6 +54,9 @@ class SyntheticDataset:
 
     name = "Synthetic"
     orig_img_size = (256, 256)
+    # RHD_kpt-compatible schema: corner (0,0) + crop_size carried per sample,
+    # so eval rescales through the crop_corner path like RHD
+    rescale = "crop_corner"
 
     def __init__(self, cfg=None, subset: str = "training", heatmap_generator=None,
                  transforms=None, length: int = 64, img_size: int = 64,
