@@ -122,7 +122,10 @@ def test_worst_case_unconditional_schedule_fits():
 
 @pytest.mark.slow
 def test_dryrun_cold_cache_minimum_contract(tmp_path):
-    window_s = 420
+    # 480 here gives the same effective child budget the scenario had before
+    # the round-5 margin bump (window - 120s margin = 360s; cold tiny-2D is
+    # 145s + parent startup) while still forcing every later stage to SKIP
+    window_s = 480
     env = dict(os.environ)
     env["GRAFT_DRYRUN_WINDOW_S"] = str(window_s)
     env["GRAFT_DRYRUN_CACHE_DIR"] = str(tmp_path / "fresh_cache")
