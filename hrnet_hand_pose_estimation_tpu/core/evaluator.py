@@ -95,6 +95,8 @@ class Evaluator2D:
 
     def run(self, loader, dataset_name: str = "", output_dir: Optional[str] = None
             ) -> Dict[str, float]:
+        # dataset_name is informational only (kept for CLI compatibility);
+        # rescale dispatch is declared by the reader (``dataset.rescale``)
         cfg = self.cfg
         hm_size = float(cfg.MODEL.HEATMAP_SIZE[0])
         n_joints = int(cfg.DATASET.NUM_JOINTS)
